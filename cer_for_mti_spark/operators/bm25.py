@@ -1,0 +1,243 @@
+"""BM25 top-k query execution: a declarative naive path (oracle-checkable
+against DuckDB SQL) and a block-max WAND path over compressed postings.
+
+BM25 (k1=1.2, b=0.75, per BASELINE.json north_star), Lucene idf variant:
+
+    idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(q,d) = sum_{t in q∩d} idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+
+Determinism contract (SURVEY.md §4.2.5): ranks are ordered by
+(round(score, 6) DESC, doc_id ASC). Rounding before ranking absorbs
+float-summation-order differences across parallelism levels (local[8] vs
+local[32]) and across engines (JVM vs numpy vs DuckDB libm), making the
+naive and WAND paths rank-identical and N-vs-4N runs rank-identical.
+
+Scale notes: the query path broadcast-semi-prunes the postings scan to the
+query batch's terms (≤ |queries|·|terms| posting rows move), then groups a
+query's postings together (applyInPandas) — query-parallel, which is the
+right axis at web scale where the query batch is large. Stop-word terms
+(huge postings) are the reason block-max WAND exists: the scorer skips
+whole 128-doc blocks whose upper bound can't reach the current top-k
+threshold.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cer_for_mti_spark.functions import analyze
+from cer_for_mti_spark.operators.index_build import B, K1, _impact
+from cer_for_mti_spark.functions.codecs import delta_decode, varint_decode
+
+TOPK_SCHEMA = "query_id int, doc_id long, score double, rank int"
+
+
+def idf_col(df_col, n_docs: int):
+    return F.log(F.lit(1.0) + (F.lit(float(n_docs)) - df_col + 0.5) / (df_col + 0.5))
+
+
+def query_terms(queries: DataFrame, mode: str = "simple") -> DataFrame:
+    """(query_id, query) -> distinct (query_id, term) via the same analyzer
+    as the index build."""
+    toks = analyze.tokenize(queries, "query", mode)
+    return (
+        toks.select("query_id", F.explode("tokens").alias("term")).distinct()
+    )
+
+
+def bm25_naive(queries: DataFrame, doc_terms: DataFrame, doc_stats: DataFrame,
+               n_docs: int, avgdl: float, k: int = 10,
+               mode: str = "simple") -> DataFrame:
+    """Fully declarative scorer over the uncompressed (doc_id, term, tf)
+    relation — Catalyst plans: broadcast the tiny query-term set, hash-join
+    against doc_terms (filter pushed to the parquet scan when doc_terms is
+    a table), co-keyed join to doc_stats, partial+final agg, window top-k.
+    This is the DuckDB-oracle twin of the WAND path."""
+    qt = query_terms(queries, mode)
+    q_only = qt.select("term").distinct()
+    # prune doc_terms to the query vocabulary FIRST (broadcast hash join →
+    # at table scale this also becomes a pushed-down IN filter on the scan),
+    # then df counts are still global per term (all docs kept per term).
+    dt_q = doc_terms.join(F.broadcast(q_only), "term")
+    term_df = dt_q.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        dt_q.join(F.broadcast(qt), "term")
+        .join(F.broadcast(term_df), "term")
+        .join(doc_stats, "doc_id")
+        .withColumn("idf", idf_col(F.col("df").cast("double"), n_docs))
+        .withColumn(
+            "part",
+            F.col("idf")
+            * (F.col("tf") * (K1 + 1.0))
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("doclen") / F.lit(avgdl))),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("part"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def _decode_cursor(row, n_docs: int, avgdl: float):
+    ids = delta_decode(row["doc_ids"])
+    tfs = varint_decode(row["tfs"])
+    dls = varint_decode(row["doclens"])
+    df = float(row["df"])
+    idf = float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+    imps = idf * _impact(tfs, dls, avgdl)
+    block_last = np.asarray(row["block_last"], dtype=np.int64)
+    block_ub = idf * np.asarray(row["block_max"], dtype=np.float64)
+    return ids, imps, block_last, block_ub, idf * float(row["max_impact"])
+
+
+def _wand_one_query(rows: list, n_docs: int, avgdl: float, k: int):
+    """Classic block-max WAND (Broder et al. 2003; Ding & Suel 2011
+    block-max refinement) over the decoded cursors of one query."""
+    cursors = []
+    for row in rows:
+        ids, imps, block_last, block_ub, ub = _decode_cursor(row, n_docs, avgdl)
+        if len(ids):
+            cursors.append({"ids": ids, "imps": imps, "bl": block_last,
+                            "bub": block_ub, "ub": ub, "pos": 0})
+    if not cursors:
+        return []
+
+    heap: list[float] = []  # min-heap of the current top-k scores
+    candidates: list[tuple[float, int]] = []
+    slack = 1e-6
+
+    def threshold() -> float:
+        return heap[0] - slack if len(heap) >= k else -1.0
+
+    def cur_doc(c) -> int:
+        return int(c["ids"][c["pos"]]) if c["pos"] < len(c["ids"]) else 1 << 62
+
+    INF = 1 << 62
+    live = cursors
+    while True:
+        live = [c for c in live if c["pos"] < len(c["ids"])]
+        if not live:
+            break
+        live.sort(key=cur_doc)
+        theta = threshold()
+        # pivot: first prefix whose summed term upper bounds beat theta
+        acc, pivot = 0.0, -1
+        for i, c in enumerate(live):
+            acc += c["ub"]
+            if acc > theta:
+                pivot = i
+                break
+        if pivot < 0:
+            break
+        pivot_doc = cur_doc(live[pivot])
+        # pivot SET = every cursor positioned at or before pivot_doc (the
+        # prefix may extend past `pivot` when several cursors sit on it)
+        m = pivot + 1
+        while m < len(live) and cur_doc(live[m]) <= pivot_doc:
+            m += 1
+        # block-max refinement (Ding & Suel 2011): UB of any doc in
+        # [pivot_doc, d'-1] using current-block maxima of the pivot set
+        bacc = 0.0
+        d_blocks = INF
+        for c in live[:m]:
+            bi = int(np.searchsorted(c["bl"], pivot_doc))
+            if bi < len(c["bub"]):
+                bacc += float(c["bub"][bi])
+                d_blocks = min(d_blocks, int(c["bl"][bi]))
+        if bacc <= theta:
+            # safe skip: docs < next non-pivot cursor are covered only by
+            # the pivot set, and docs <= min(block_last) stay in-block
+            d_next = cur_doc(live[m]) if m < len(live) else INF
+            nxt = max(min(d_blocks + 1, d_next), pivot_doc + 1)
+            for c in live[:m]:
+                c["pos"] += int(np.searchsorted(c["ids"][c["pos"]:], nxt))
+            continue
+        if cur_doc(live[0]) == pivot_doc:
+            score = 0.0
+            for c in live[:m]:
+                if cur_doc(c) == pivot_doc:
+                    score += float(c["imps"][c["pos"]])
+                    c["pos"] += 1
+            if score > theta:
+                candidates.append((score, pivot_doc))
+                heapq.heappush(heap, score)
+                if len(heap) > k:
+                    heapq.heappop(heap)
+        else:
+            # advance the largest-UB cursor strictly BEHIND the pivot doc
+            # (cursors already sitting on pivot_doc must not be chosen —
+            # searchsorted would return 0 and the loop would not progress)
+            pre = [c for c in live[:pivot] if cur_doc(c) < pivot_doc]
+            adv = max(pre, key=lambda c: c["ub"])
+            adv["pos"] += int(np.searchsorted(adv["ids"][adv["pos"]:], pivot_doc))
+
+    # deterministic final ranking: (round(score,6) DESC, doc_id ASC)
+    ranked = sorted(
+        ((round(s, 6), d) for s, d in candidates), key=lambda x: (-x[0], x[1])
+    )
+    return ranked[:k]
+
+
+def bm25_wand(queries: DataFrame, postings: DataFrame, n_docs: int,
+              avgdl: float, k: int = 10, mode: str = "simple") -> DataFrame:
+    """Block-max WAND top-k: broadcast-prune postings to the query terms,
+    co-locate each query's posting lists with applyInPandas, run the
+    skipping scorer per query. Output rank-identical to bm25_naive."""
+    qt = query_terms(queries, mode)
+    fetched = postings.join(F.broadcast(qt), "term")
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        rows = [pdf.iloc[i] for i in range(len(pdf))]
+        ranked = _wand_one_query(rows, n_docs, avgdl, k)
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "doc_id": [d for _, d in ranked],
+                "score": [s for s, _ in ranked],
+                "rank": list(range(1, len(ranked) + 1)),
+            }
+        )
+
+    return fetched.groupBy("query_id").applyInPandas(score_group, TOPK_SCHEMA)
+
+
+def bm25_from_postings_naive(queries: DataFrame, postings: DataFrame,
+                             n_docs: int, avgdl: float, k: int = 10,
+                             mode: str = "simple") -> DataFrame:
+    """Exhaustive scorer over the COMPRESSED postings (decodes, no skipping)
+    — verifies the codec path against bm25_naive and gives WAND a same-input
+    exhaustive twin for tests."""
+    qt = query_terms(queries, mode)
+    fetched = postings.join(F.broadcast(qt), "term")
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        acc: dict[int, float] = {}
+        for i in range(len(pdf)):
+            row = pdf.iloc[i]
+            ids, imps, _, _, _ = _decode_cursor(row, n_docs, avgdl)
+            for d, s in zip(ids.tolist(), imps.tolist()):
+                acc[d] = acc.get(d, 0.0) + s
+        ranked = sorted(
+            ((round(s, 6), d) for d, s in acc.items()), key=lambda x: (-x[0], x[1])
+        )[:k]
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "doc_id": [d for _, d in ranked],
+                "score": [s for s, _ in ranked],
+                "rank": list(range(1, len(ranked) + 1)),
+            }
+        )
+
+    return fetched.groupBy("query_id").applyInPandas(score_group, TOPK_SCHEMA)
