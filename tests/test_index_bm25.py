@@ -1,0 +1,115 @@
+"""Index build + BM25: rank-identity of the three query paths, identity
+self-tests, determinism across parallelism (SURVEY.md §5.2)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cer_for_mti_spark.operators import bm25
+from cer_for_mti_spark.operators import index_build as ib
+
+
+def _key(rows):
+    return sorted(
+        (r.query_id, r.rank, r.doc_id, round(r.score, 6)) for r in rows
+    )
+
+
+@pytest.fixture(scope="module")
+def queries(spark):
+    return spark.createDataFrame(
+        [
+            (0, "insulin"),
+            (1, "TNF-α insulin"),
+            (2, "the of and"),
+            (3, "zzz-not-in-corpus"),
+            (4, "dopamine serotonin glutamate hemoglobin"),
+        ],
+        "query_id int, query string",
+    )
+
+
+def test_rank_identity_three_paths(spark, index_300, queries):
+    dt, ds, postings, n, avgdl = index_300
+    naive = bm25.bm25_naive(queries, dt, ds, n, avgdl, k=10, mode="chem")
+    exh = bm25.bm25_from_postings_naive(queries, postings, n, avgdl, k=10,
+                                        mode="chem")
+    wand = bm25.bm25_wand(queries, postings, n, avgdl, k=10, mode="chem",
+                          scorer="wand")
+    taat = bm25.bm25_wand(queries, postings, n, avgdl, k=10, mode="chem",
+                          scorer="taat")
+    a, b = _key(naive.collect()), _key(exh.collect())
+    c, d = _key(wand.collect()), _key(taat.collect())
+    assert a == b
+    assert a == c
+    assert a == d
+    assert len(a) > 0
+
+
+def test_identity_rare_term_rank1(spark, webtext, index_300):
+    """Indexing a doc and querying a term unique to it returns that doc at
+    rank 1 (the engine's analogue of the reference's gold self-eval
+    P=R=F1=1.0, run_tool_evaluation.py:855)."""
+    dt, ds, postings, n, avgdl = index_300
+    # find a term with df == 1
+    rare = (
+        dt.groupBy("term").agg(F.count("*").alias("df"),
+                               F.first("doc_id").alias("d"))
+        .filter(F.col("df") == 1)
+        .orderBy("term")
+        .first()
+    )
+    q = webtext.sparkSession.createDataFrame(
+        [(0, rare["term"])], "query_id int, query string"
+    )
+    top = bm25.bm25_wand(q, postings, n, avgdl, k=1, mode="chem").collect()
+    assert len(top) == 1 and top[0].doc_id == rare["d"] and top[0].rank == 1
+
+
+def test_postings_invariants(index_300):
+    """SPIMI invariants: doc_ids strictly increasing, df == run length,
+    block maxes bound the true impacts."""
+    import numpy as np
+
+    from cer_for_mti_spark.functions.codecs import delta_decode, varint_decode
+
+    dt, ds, postings, n, avgdl = index_300
+    rows = postings.orderBy("term").limit(50).collect()
+    assert rows
+    for r in rows:
+        ids = delta_decode(bytes(r.doc_ids))
+        tfs = varint_decode(bytes(r.tfs))
+        dls = varint_decode(bytes(r.doclens))
+        assert len(ids) == r.df == len(tfs) == len(dls)
+        assert np.all(np.diff(ids) > 0)
+        imp = ib._impact(tfs, dls, avgdl)
+        assert abs(float(imp.max()) - r.max_impact) < 1e-12
+        bm = np.asarray(r.block_max)
+        assert float(bm.max()) <= r.max_impact + 1e-12
+
+
+def test_salt_invariance(spark, webtext, queries):
+    """Salted merge must be transparent: postings built with salt=1 and
+    salt=8 give identical WAND results."""
+    dt = ib.build_doc_terms(webtext, mode="chem").cache()
+    ds = ib.build_doc_stats(dt)
+    n, avgdl = ib.corpus_stats(ds)
+    p1 = ib.build_postings(dt, ds, avgdl, salt=1)
+    p8 = ib.build_postings(dt, ds, avgdl, salt=8)
+    a = _key(bm25.bm25_wand(queries, p1, n, avgdl, k=10, mode="chem").collect())
+    b = _key(bm25.bm25_wand(queries, p8, n, avgdl, k=10, mode="chem").collect())
+    assert a == b
+
+
+def test_parallelism_determinism(spark, webtext, index_300, queries):
+    """Same input at different partitioning -> identical top-k (the N vs
+    4N rank-identity contract, SURVEY.md §4.2.5)."""
+    dt, ds, postings, n, avgdl = index_300
+    base = _key(bm25.bm25_naive(queries, dt, ds, n, avgdl, k=10,
+                                mode="chem").collect())
+    re32 = _key(
+        bm25.bm25_naive(
+            queries, dt.repartition(32), ds.repartition(32), n, avgdl, k=10,
+            mode="chem",
+        ).collect()
+    )
+    assert base == re32
