@@ -1,38 +1,46 @@
 """SPIMI-style distributed inverted-index build.
 
-Pipeline (all declarative until the posting-run codec, which is a grouped
-pandas UDF over Arrow batches):
+Three result-identical plans (tests assert same posting bytes + same
+WAND top-k; pick by where the bottleneck is):
 
-    documents (doc_id, text)
-      -> tokenize (functions/analyze.py)                    [narrow]
-      -> posexplode -> groupBy(doc_id, term).count()        [shuffle 1: by
-         (doc_id, term) — skew-free, doc_id spreads hot terms]
-      -> doc_stats (doclen, N, avgdl)                       [reuses shuffle 1]
-      -> salted groupBy(term, salt) collect_list            [shuffle 2: hot
-         terms (stop words) split across SALT buckets — explicit skew
-         handling per BASELINE.json north_rule; AQE skew handling does not
-         cover aggregations]
-      -> groupBy(term) merge + array_sort                   [shuffle 3: moves
-         pre-aggregated struct arrays, ≤SALT rows/term]
-      -> Arrow-batched scalar pandas UDF encode             [narrow: one
-         Python crossing per batch of terms, numpy codecs inside]
-      -> postings (term, shard, df, doc_ids:binary, tfs:binary,
-         block_last:array<long>, block_max:array<double>, max_impact)
-         written hash-sharded by term -> partition pruning at query time.
+1. ``spimi`` (build_postings_spimi) — classic single-pass in-memory
+   indexing: ONE mapInPandas pass per input split does tokenize ->
+   per-doc count -> per-term sorted-run ENCODE (delta+varint, block
+   maxes). The build's only shuffle moves COMPRESSED RUNS, grouped by
+   term and merged by byte concatenation with a one-varint boundary
+   patch (merge_encoded_runs). No raw (doc_id, term, tf) row ever
+   crosses the network; a hot term's decoded posting is never
+   materialized. The 100 TB plan.
+
+2. ``shuffle`` (build_doc_terms_with_dl + build_postings) — JVM codegen
+   split + explode + groupBy(doc_id, term) [skew-free: doc_id in the
+   key], then range-salted groupBy(term, bucket) run encode + the same
+   compressed-run merge. First exchange transports the full doc_terms
+   relation; fastest absolute on one machine (memory-speed shuffle,
+   JVM tokenizer). The DuckDB-oracle-matched definition.
+
+3. ``narrow`` (build_doc_terms_narrow + build_postings) — Arrow-batched
+   per-doc Counter (no first shuffle) feeding the same salted run
+   encode + merge.
+
+Output schema (POSTING_SCHEMA): term, df, doc_ids/tfs/doclens as
+delta+varint binary, block_last/block_max (per ~128-doc block, run-local
+— WAND needs only (last_doc, max) per block, alignment is irrelevant),
+max_impact. Hash-sharded on write -> partition pruning at query time.
+
+Skew: a stop word in every one of 10^12 docs is encoded by S range-bucket
+tasks (salt_for(n) caps ~4M entries/bucket; under spimi S = the input
+partition count) and merged as O(S) byte concats. AQE skew handling does
+not cover aggregations, hence the explicit buckets.
 
 The reference's analogue is the per-doc term-set dict construction
 (run_tool_evaluation.py:472-478) transposed; compression/sharding/salting
 are the scale-path additions (SURVEY.md §4.2).
-
-Scale notes (100 TB / 10^12 docs): shuffle 1 keys on (doc_id, term) so no
-hot key exists; shuffle 2's worst key holds df_max/SALT entries (a
-stop-word appearing in every doc: 10^12/64 ≈ 1.6e10 per bucket — still too
-big for one task at full web scale, so SALT scales with corpus size:
-salt = pmod(hash(doc_id), salt_for(N))); shuffle 3 moves compressed bytes
-only. Block maxes (every BLOCK docs) enable WAND skipping at query time.
 """
 
 from __future__ import annotations
+
+import re
 
 import numpy as np
 import pandas as pd
@@ -63,17 +71,127 @@ def build_doc_terms(docs: DataFrame, text_col: str = "text",
     """documents -> (doc_id, term, tf). One wide shuffle keyed on
     (doc_id, term): skew-free because doc_id participates in the key.
     Catalyst plans this as partial HashAggregate -> exchange -> final."""
+    return build_doc_terms_with_dl(docs, text_col, mode).drop("doclen")
+
+
+def build_doc_terms_with_dl(docs: DataFrame, text_col: str = "text",
+                            mode: str = "simple") -> DataFrame:
+    """(doc_id, term, tf, doclen) — doclen is size(tokens), computed
+    BEFORE the explode and carried through the aggregation via first().
+    This removes the doc_terms<->doc_stats join (a full co-keyed shuffle
+    of the exploded relation) from the postings build: at 10^12 docs
+    that join would reshuffle the entire token relation a second time."""
     toks = analyze.tokenize(docs.select("doc_id", text_col), text_col, mode)
     return (
-        toks.select("doc_id", F.explode("tokens").alias("term"))
+        toks.select(
+            "doc_id",
+            F.size("tokens").cast("long").alias("doclen"),
+            F.explode("tokens").alias("term"),
+        )
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("tf"),
+            F.first("doclen").alias("doclen"),
+        )
     )
 
 
-def build_doc_stats(doc_terms: DataFrame) -> DataFrame:
-    """(doc_id, doclen). doclen = total token count (sum tf)."""
-    return doc_terms.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doclen"))
+_COUNTS_SCHEMA = T.StructType(
+    [
+        T.StructField("terms", T.ArrayType(T.StringType())),
+        T.StructField("tfs", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+# Java's \s (used by the JVM split in analyze.simple_tokens_col) is
+# ASCII-only; mirror it exactly so the narrow and shuffle paths agree
+# byte-for-byte (and both agree with the DuckDB oracle's \s+).
+_JAVA_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _object_df(out: dict) -> pd.DataFrame:
+    """dict-of-lists -> DataFrame with object dtype columns. An EMPTY
+    plain DataFrame defaults every column to float64, and pyarrow's
+    NumPyConverter refuses float64 -> list<int64> for the array columns —
+    empty Arrow batches (shuffle partitions with no groups) then kill the
+    task. Object dtype converts correctly whether empty or not."""
+    return pd.DataFrame({k: pd.Series(v, dtype=object) for k, v in out.items()})
+
+
+def _make_term_counts_udf(mode: str):
+    """Arrow-batched tokenize + per-doc term counting in ONE Python
+    crossing. The per-doc Counter replaces the groupBy(doc_id, term)
+    shuffle of the declarative path: every token of a doc is already
+    co-located in its row, so that shuffle moved the complete doc_terms
+    relation while reducing nothing."""
+    from collections import Counter
+
+    from cer_for_mti_spark.functions.analyze import chem_tokenize_str
+
+    if mode == "simple":
+        def toks(s: str) -> list[str]:
+            return [t for t in _JAVA_WS_RE.split(s) if t] if s else []
+    elif mode in ("chem", "chem+greek"):
+        from cer_for_mti_spark.functions.analyze import greek_variants
+
+        def toks(s: str) -> list[str]:
+            out = chem_tokenize_str(s) if s else []
+            if mode == "chem+greek":
+                out = out + greek_variants(out)
+            return out
+    else:
+        raise ValueError(f"unknown tokenize mode {mode!r}")
+
+    @F.pandas_udf(_COUNTS_SCHEMA)
+    def term_counts(text: pd.Series) -> pd.DataFrame:
+        terms_col, tfs_col = [], []
+        for s in text:
+            c = Counter(toks(s))
+            terms_col.append(list(c.keys()))
+            tfs_col.append(list(c.values()))
+        return _object_df({"terms": terms_col, "tfs": tfs_col})
+
+    return term_counts
+
+
+def build_doc_terms_narrow(docs: DataFrame, text_col: str = "text",
+                           mode: str = "simple") -> DataFrame:
+    """(doc_id, term, tf, doclen) with NO shuffle — the scale path.
+
+    The declarative twin (build_doc_terms_with_dl) explodes raw tokens and
+    aggregates by (doc_id, term): Catalyst's partial HashAggregate already
+    finishes the counts map-side (a doc's tokens never span input splits),
+    so its exchange moves the final relation while reducing nothing — pure
+    shuffle cost. Here the count happens inside the doc's own row; the
+    postings build's salted term merge becomes the build's ONLY full
+    shuffle. Tests assert both paths produce identical relations."""
+    counted = docs.select("doc_id", _make_term_counts_udf(mode)(text_col).alias("c"))
+    return counted.select(
+        "doc_id",
+        F.aggregate("c.tfs", F.lit(0).cast("long"), lambda a, x: a + x)
+        .alias("doclen"),
+        F.explode(F.arrays_zip(F.col("c.terms").alias("term"),
+                               F.col("c.tfs").alias("tf"))).alias("e"),
+    ).select("doc_id", F.col("e.term").alias("term"),
+             F.col("e.tf").alias("tf"), "doclen")
+
+
+def build_doc_stats(doc_terms_or_docs: DataFrame, text_col: str = "text",
+                    mode: str = "simple") -> DataFrame:
+    """(doc_id, doclen). When given the raw documents table this is a
+    NARROW projection (size of the token array — no shuffle at all);
+    given a doc_terms relation it falls back to the sum(tf) aggregation."""
+    cols = set(doc_terms_or_docs.columns)
+    if "tf" in cols:
+        return doc_terms_or_docs.groupBy("doc_id").agg(
+            F.sum("tf").cast("long").alias("doclen")
+        )
+    toks = analyze.tokenize(
+        doc_terms_or_docs.select("doc_id", text_col), text_col, mode
+    )
+    return toks.select(
+        "doc_id", F.size("tokens").cast("long").alias("doclen")
+    )
 
 
 def corpus_stats(doc_stats: DataFrame) -> tuple[int, float]:
@@ -107,72 +225,292 @@ ENCODE_SCHEMA = T.StructType(
     ]
 )
 
+# a run = one doc-id-RANGE bucket's slice of a term's posting, already
+# compressed; first_id/last_id let the merge patch delta boundaries
+RUN_SCHEMA = T.StructType(
+    [
+        T.StructField("first_id", T.LongType()),
+        T.StructField("last_id", T.LongType()),
+        T.StructField("df", T.LongType()),
+    ]
+    + ENCODE_SCHEMA.fields
+)
 
-def _make_encode_udf(avgdl: float):
-    """Scalar pandas UDF (one Arrow batch = thousands of terms) turning a
-    term's sorted (ids, tfs, dls) arrays into compressed posting columns +
-    block maxes. Much cheaper than per-group applyInPandas: Python is
-    crossed once per BATCH, numpy does the per-term work."""
+MERGED_SCHEMA = T.StructType(
+    [T.StructField("df", T.LongType())] + ENCODE_SCHEMA.fields
+)
 
-    @F.pandas_udf(ENCODE_SCHEMA)
-    def encode(ids_s: pd.Series, tfs_s: pd.Series, dls_s: pd.Series) -> pd.DataFrame:
-        out = {k.name: [] for k in ENCODE_SCHEMA.fields}
+
+def _encode_arrays(ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+                   avgdl: float) -> tuple:
+    """Sorted posting arrays -> (doc_ids, tfs, doclens, block_last,
+    block_max, max_impact). Blocks are run-local and need no 128-alignment
+    across runs: WAND only requires (last_doc, max) per block."""
+    imp = _impact(tfs, dls, avgdl)
+    nblk = (len(ids) + BLOCK - 1) // BLOCK
+    pad = nblk * BLOCK - len(ids)
+    block_last = ids[np.minimum(np.arange(1, nblk + 1) * BLOCK - 1, len(ids) - 1)]
+    imp_p = np.pad(imp, (0, pad), constant_values=0.0).reshape(nblk, BLOCK)
+    return (
+        delta_encode(ids), varint_encode(tfs), varint_encode(dls),
+        block_last.tolist(), imp_p.max(axis=1).tolist(), float(imp.max()),
+    )
+
+
+def _make_encode_run_udf(avgdl: float):
+    """Scalar pandas UDF compressing ONE RUN per input row (a (term,
+    range-bucket) group's sorted arrays). Python is crossed once per Arrow
+    batch; numpy does the per-run work. Because runs are doc-id ranges,
+    hot terms (stop words) are encoded by S tasks in parallel instead of
+    one — the encode stage was the build's serial bottleneck before."""
+
+    @F.pandas_udf(RUN_SCHEMA)
+    def encode_run(ids_s: pd.Series, tfs_s: pd.Series,
+                   dls_s: pd.Series) -> pd.DataFrame:
+        out = {k.name: [] for k in RUN_SCHEMA.fields}
         for ids_l, tfs_l, dls_l in zip(ids_s, tfs_s, dls_s):
             ids = np.asarray(ids_l, dtype=np.int64)
             tfs = np.asarray(tfs_l, dtype=np.uint64)
             dls = np.asarray(dls_l, dtype=np.uint64)
-            imp = _impact(tfs, dls, avgdl)
-            nblk = (len(ids) + BLOCK - 1) // BLOCK
-            pad = nblk * BLOCK - len(ids)
-            block_last = ids[
-                np.minimum(np.arange(1, nblk + 1) * BLOCK - 1, len(ids) - 1)
-            ]
-            imp_p = np.pad(imp, (0, pad), constant_values=0.0).reshape(nblk, BLOCK)
-            out["doc_ids"].append(delta_encode(ids))
-            out["tfs"].append(varint_encode(tfs))
-            out["doclens"].append(varint_encode(dls))
-            out["block_last"].append(block_last.tolist())
-            out["block_max"].append(imp_p.max(axis=1).tolist())
-            out["max_impact"].append(float(imp.max()))
-        return pd.DataFrame(out)
+            d, t, dl, bl, bm, mi = _encode_arrays(ids, tfs, dls, avgdl)
+            out["first_id"].append(int(ids[0]))
+            out["last_id"].append(int(ids[-1]))
+            out["df"].append(len(ids))
+            out["doc_ids"].append(d)
+            out["tfs"].append(t)
+            out["doclens"].append(dl)
+            out["block_last"].append(bl)
+            out["block_max"].append(bm)
+            out["max_impact"].append(mi)
+        return _object_df(out)
 
-    return encode
+    return encode_run
+
+
+def _varint_prefix_len(buf: bytes) -> int:
+    i = 0
+    while buf[i] & 0x80:
+        i += 1
+    return i + 1
+
+
+def merge_encoded_runs(runs: list[dict], avgdl: float | None = None) -> tuple:
+    """Merge compressed runs of one term. Fast path (disjoint, ordered
+    doc-id ranges — the normal case): byte-concat with a single varint
+    patch per boundary (run k's first gap becomes
+    first_id_k - last_id_{k-1}); never materializes the decoded posting.
+    Overlapping runs (possible when input partitions are not doc-id
+    ranges) fall back to decode + merge + re-encode, which needs avgdl."""
+    runs = sorted(runs, key=lambda r: (r["first_id"], r["last_id"]))
+    overlap = any(
+        r["first_id"] <= prev["last_id"] for prev, r in zip(runs, runs[1:])
+    )
+    if overlap:
+        if avgdl is None:
+            raise ValueError("overlapping runs need avgdl to re-encode")
+        ids = np.concatenate([delta_decode(bytes(r["doc_ids"])) for r in runs])
+        tfs = np.concatenate([varint_decode(bytes(r["tfs"])) for r in runs])
+        dls = np.concatenate([varint_decode(bytes(r["doclens"])) for r in runs])
+        order = np.argsort(ids, kind="stable")
+        ids, tfs, dls = ids[order], tfs[order], dls[order]
+        d, t, dl, bl, bm, mi = _encode_arrays(ids, tfs, dls, avgdl)
+        return len(ids), d, t, dl, bl, bm, mi
+    ids_parts = [bytes(runs[0]["doc_ids"])]
+    for prev, r in zip(runs, runs[1:]):
+        b = bytes(r["doc_ids"])
+        plen = _varint_prefix_len(b)
+        gap = np.asarray([r["first_id"] - prev["last_id"]], dtype=np.uint64)
+        ids_parts.append(varint_encode(gap) + b[plen:])
+    block_last: list[int] = []
+    block_max: list[float] = []
+    for r in runs:
+        block_last.extend(r["block_last"])
+        block_max.extend(r["block_max"])
+    return (
+        int(sum(r["df"] for r in runs)),
+        b"".join(ids_parts),
+        b"".join(bytes(r["tfs"]) for r in runs),
+        b"".join(bytes(r["doclens"]) for r in runs),
+        block_last,
+        block_max,
+        float(max(r["max_impact"] for r in runs)),
+    )
+
+
+def _make_merge_runs_udf(avgdl: float):
+    @F.pandas_udf(MERGED_SCHEMA)
+    def merge_runs(runs_s: pd.Series) -> pd.DataFrame:
+        out = {k.name: [] for k in MERGED_SCHEMA.fields}
+        for runs in runs_s:
+            df, d, t, dl, bl, bm, mi = merge_encoded_runs(list(runs), avgdl)
+            out["df"].append(df)
+            out["doc_ids"].append(d)
+            out["tfs"].append(t)
+            out["doclens"].append(dl)
+            out["block_last"].append(bl)
+            out["block_max"].append(bm)
+            out["max_impact"].append(mi)
+        return _object_df(out)
+
+    return merge_runs
 
 
 def build_postings(doc_terms: DataFrame, doc_stats: DataFrame, avgdl: float,
                    salt: int | None = None, n_docs: int | None = None) -> DataFrame:
-    """Two-phase salted SPIMI merge -> compressed postings with block maxes.
+    """True SPIMI: salted sorted-run construction -> COMPRESSED-run merge.
 
-    Phase 1 groups on (term, salt=hash(doc_id)%S) so a stop-word's posting
-    is accumulated by S tasks instead of one (explicit skew handling);
-    phase 2 merges the <=S partial runs per term — it moves pre-aggregated
-    struct arrays, not raw rows. Both phases are JVM collect_list
-    aggregations (partial+final HashAggregate under Catalyst); Python is
-    entered exactly once, in the Arrow-batched encode UDF."""
+    Phase 1 groups on (term, range_bucket(doc_id)) — a stop word's posting
+    is accumulated AND compressed by S tasks instead of one (explicit skew
+    handling; AQE skew-split does not cover aggregations). Buckets are
+    doc-id RANGES, not hashes, so each run is a contiguous sorted slice.
+
+    Phase 2 merges each term's <=S runs by BYTE CONCATENATION with a
+    one-varint boundary patch (merge_encoded_runs) — the merge exchange
+    moves compressed bytes (10-20x smaller than the raw struct arrays it
+    previously moved) and never materializes a decoded posting. This is
+    what makes the hot-term path scale: before, a 10^6-entry stop-word
+    posting was array_sort'ed + encoded inside ONE task; now the heavy
+    work happened in phase 1 across S tasks.
+
+    Python is crossed twice per posting (encode run, merge runs), both
+    Arrow-batched, both numpy/bytes-level."""
     if salt is None:
         salt = salt_for(n_docs or 1_000_000)
 
-    with_dl = doc_terms.join(doc_stats, "doc_id")  # co-keyed shuffle on doc_id
+    if "doclen" in doc_terms.columns:
+        with_dl = doc_terms  # doclen carried from tokenize: no join needed
+    else:
+        with_dl = doc_terms.join(doc_stats, "doc_id")  # co-keyed shuffle
+    if n_docs:
+        width = max(1, (int(n_docs) + salt - 1) // salt)
+    else:
+        width = max(
+            1, (int(doc_stats.agg(F.max("doc_id")).collect()[0][0]) + salt)
+            // salt,
+        )
+    # doc_id // width: contiguous ranges — runs concat in sorted order.
+    # ids beyond n_docs (e.g. synthetic offsets) just make extra buckets.
     salted = with_dl.withColumn(
-        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt)).cast("int")
+        "bucket", (F.col("doc_id") / F.lit(width)).cast("long")
     )
-    runs = salted.groupBy("term", "salt").agg(
-        F.collect_list(F.struct("doc_id", "tf", "doclen")).alias("run")
+    encode_run = _make_encode_run_udf(avgdl)
+    runs = (
+        salted.groupBy("term", "bucket")
+        .agg(F.array_sort(F.collect_list(
+            F.struct("doc_id", "tf", "doclen"))).alias("plist"))
+        .select(
+            "term",
+            encode_run(
+                F.transform("plist", lambda s: s["doc_id"]),
+                F.transform("plist", lambda s: s["tf"].cast("long")),
+                F.transform("plist", lambda s: s["doclen"]),
+            ).alias("run"),
+        )
     )
     merged = runs.groupBy("term").agg(
-        F.array_sort(F.flatten(F.collect_list("run"))).alias("plist")
+        F.collect_list("run").alias("runs")  # compressed bytes move here
     )
-    cols = merged.select(
-        "term",
-        F.size("plist").cast("long").alias("df"),
-        F.transform("plist", lambda s: s["doc_id"]).alias("_ids"),
-        F.transform("plist", lambda s: s["tf"].cast("long")).alias("_tfs"),
-        F.transform("plist", lambda s: s["doclen"]).alias("_dls"),
+    return merged.select(
+        "term", _make_merge_runs_udf(avgdl)("runs").alias("p")
+    ).select("term", "p.df", "p.doc_ids", "p.tfs", "p.doclens",
+             "p.block_last", "p.block_max", "p.max_impact")
+
+
+def build_postings_spimi(docs: DataFrame, avgdl: float,
+                         mode: str = "simple",
+                         text_col: str = "text") -> DataFrame:
+    """Classic SPIMI (Heinz/Zobel-style single-pass in-memory indexing,
+    the design SURVEY.md §4.2 names): ONE mapInPandas pass per input
+    partition does tokenize -> per-doc count -> per-term posting-run
+    ENCODE, emitting already-compressed runs (term, first_id, last_id,
+    df, bytes, block maxes). The only shuffle in the whole build then
+    moves compressed bytes, grouped by term and merged by byte
+    concatenation (merge_encoded_runs).
+
+    Scale shape at 10^12 docs: the map pass is embarrassingly parallel
+    (state = one partition's in-memory index, the SPIMI memory budget —
+    size input splits accordingly); the exchange carries ~1/10th-1/20th
+    of the token relation's bytes; the hottest term costs one small
+    byte-concat per partition-run. No raw (doc_id, term, tf) row ever
+    crosses the network.
+
+    Requires avgdl up front (block maxes bake in the BM25 length norm) —
+    pass 1 computes doc_stats/avgdl narrowly; this is pass 2."""
+    from collections import defaultdict
+
+    if mode == "simple":
+        def toks(s: str) -> list[str]:
+            return [t for t in _JAVA_WS_RE.split(s) if t] if s else []
+    elif mode in ("chem", "chem+greek"):
+        from cer_for_mti_spark.functions.analyze import (
+            chem_tokenize_str,
+            greek_variants,
+        )
+
+        def toks(s: str) -> list[str]:
+            out = chem_tokenize_str(s) if s else []
+            if mode == "chem+greek":
+                out = out + greek_variants(out)
+            return out
+    else:
+        raise ValueError(f"unknown tokenize mode {mode!r}")
+
+    run_schema_str = (
+        "term string, first_id long, last_id long, df long, "
+        "doc_ids binary, tfs binary, doclens binary, "
+        "block_last array<long>, block_max array<double>, max_impact double"
     )
-    encode = _make_encode_udf(avgdl)
-    return cols.select(
-        "term", "df", encode("_ids", "_tfs", "_dls").alias("p")
-    ).select("term", "df", "p.*")
+
+    def spimi_partition(batches):
+        from collections import Counter
+
+        acc: dict[str, list] = defaultdict(lambda: ([], [], []))
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                c = Counter(toks(text))
+                dl = sum(c.values())
+                for term, tf in c.items():
+                    ids, tfs, dls = acc[term]
+                    ids.append(doc_id)
+                    tfs.append(tf)
+                    dls.append(dl)
+        out = {
+            "term": [], "first_id": [], "last_id": [], "df": [],
+            "doc_ids": [], "tfs": [], "doclens": [],
+            "block_last": [], "block_max": [], "max_impact": [],
+        }
+        for term, (ids_l, tfs_l, dls_l) in acc.items():
+            ids = np.asarray(ids_l, dtype=np.int64)
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            tfs = np.asarray(tfs_l, dtype=np.uint64)[order]
+            dls = np.asarray(dls_l, dtype=np.uint64)[order]
+            d, t, dl_b, bl, bm, mi = _encode_arrays(ids, tfs, dls, avgdl)
+            out["term"].append(term)
+            out["first_id"].append(int(ids[0]))
+            out["last_id"].append(int(ids[-1]))
+            out["df"].append(len(ids))
+            out["doc_ids"].append(d)
+            out["tfs"].append(t)
+            out["doclens"].append(dl_b)
+            out["block_last"].append(bl)
+            out["block_max"].append(bm)
+            out["max_impact"].append(mi)
+        yield _object_df(out)
+
+    runs = docs.select("doc_id", text_col).mapInPandas(
+        spimi_partition, run_schema_str
+    )
+    merged = runs.groupBy("term").agg(
+        F.collect_list(
+            F.struct("first_id", "last_id", "df", "doc_ids", "tfs",
+                     "doclens", "block_last", "block_max", "max_impact")
+        ).alias("runs")
+    )
+    return merged.select(
+        "term", _make_merge_runs_udf(avgdl)("runs").alias("p")
+    ).select("term", "p.df", "p.doc_ids", "p.tfs", "p.doclens",
+             "p.block_last", "p.block_max", "p.max_impact")
 
 
 def shard_postings(postings: DataFrame, num_shards: int = 32) -> DataFrame:
@@ -202,15 +540,27 @@ def write_index(postings: DataFrame, doc_stats: DataFrame, path: str,
 
 
 def build_index(docs: DataFrame, mode: str = "simple",
-                salt: int | None = None) -> tuple[DataFrame, DataFrame, int, float]:
+                salt: int | None = None,
+                plan: str = "narrow") -> tuple[DataFrame, DataFrame, int, float]:
     """Full build; returns (postings, doc_stats, N, avgdl).
 
-    doc_terms/doc_stats are cached across the two passes (stats, then
-    postings); at cluster scale the equivalent is persisting doc_terms to
-    the table layer between passes — see plans/lineage.py, which does
-    exactly that for the resumable build."""
-    doc_terms = build_doc_terms(docs, mode=mode).persist()
-    doc_stats = build_doc_stats(doc_terms).persist()
+    plan='narrow' (default, the scale path) computes per-doc term counts
+    inside the doc's row — the salted term merge is then the only full
+    shuffle. plan='shuffle' is the declarative twin (groupBy(doc_id,term)),
+    kept because it is the DuckDB-oracle-matched definition.
+
+    doc_stats is cached across the two passes (stats, then postings); at
+    cluster scale the equivalent is persisting doc_terms to the table
+    layer between passes — see plans/lineage.py, which does exactly that
+    for the resumable build."""
+    doc_stats = build_doc_stats(docs, mode=mode).persist()
     n, avgdl = corpus_stats(doc_stats)
+    if plan == "spimi":
+        postings = build_postings_spimi(docs, avgdl, mode=mode)
+        return postings, doc_stats, n, avgdl
+    if plan == "narrow":
+        doc_terms = build_doc_terms_narrow(docs, mode=mode)
+    else:
+        doc_terms = build_doc_terms_with_dl(docs, mode=mode).persist()
     postings = build_postings(doc_terms, doc_stats, avgdl, salt=salt, n_docs=n)
     return postings, doc_stats, n, avgdl

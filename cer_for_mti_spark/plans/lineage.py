@@ -88,8 +88,8 @@ def build_index_resumable(spark: SparkSession, docs: DataFrame, path: str,
     if not pending:
         return []
 
-    doc_terms = ib.build_doc_terms(docs, mode=mode)
-    doc_stats = ib.build_doc_stats(doc_terms)
+    doc_terms = ib.build_doc_terms_narrow(docs, mode=mode)
+    doc_stats = ib.build_doc_stats(docs, mode=mode)
     n, avgdl = ib.corpus_stats(doc_stats)
     doc_terms = doc_terms.withColumn(
         "bucket", F.pmod(md5_60(F.col("term")), F.lit(n_buckets)).cast("int")

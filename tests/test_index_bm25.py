@@ -87,6 +87,51 @@ def test_postings_invariants(index_300):
         assert float(bm.max()) <= r.max_impact + 1e-12
 
 
+def test_narrow_path_parity(spark, webtext):
+    """build_doc_terms_narrow (no-shuffle scale path) must produce the
+    exact relation of the declarative groupBy path, for every tokenizer
+    mode — and an index built from it must be WAND-identical."""
+    for mode in ("simple", "chem", "chem+greek"):
+        a = ib.build_doc_terms_with_dl(webtext, mode=mode)
+        b = ib.build_doc_terms_narrow(webtext, mode=mode)
+        cols = ["doc_id", "term", "tf", "doclen"]
+        sa = sorted(map(tuple, a.select(*cols).collect()))
+        sb = sorted(map(tuple, b.select(*cols).collect()))
+        assert sa == sb and len(sa) > 0
+
+
+def test_build_index_narrow_vs_shuffle(spark, webtext, queries):
+    pn, dsn, n1, av1 = ib.build_index(webtext, mode="chem", plan="narrow")
+    ps, dss, n2, av2 = ib.build_index(webtext, mode="chem", plan="shuffle")
+    assert (n1, av1) == (n2, av2)
+    a = _key(bm25.bm25_wand(queries, pn, n1, av1, k=10, mode="chem").collect())
+    b = _key(bm25.bm25_wand(queries, ps, n2, av2, k=10, mode="chem").collect())
+    assert a == b and len(a) > 0
+
+
+def test_build_index_spimi_parity(spark, webtext, queries):
+    """The single-pass SPIMI plan (mapInPandas encode, bytes-only shuffle)
+    must produce postings byte-identical in content to the shuffle plan:
+    same df/doc_ids/tfs, and WAND-identical top-k — including with input
+    partitions that are NOT doc-id ranges (overlap fallback re-encode)."""
+    ps, dss, n, av = ib.build_index(webtext, mode="chem", plan="shuffle")
+    psp, _, n2, av2 = ib.build_index(webtext, mode="chem", plan="spimi")
+    assert (n, av) == (n2, av2)
+    a = {r["term"]: (r["df"], bytes(r["doc_ids"]), bytes(r["tfs"]))
+         for r in ps.collect()}
+    b = {r["term"]: (r["df"], bytes(r["doc_ids"]), bytes(r["tfs"]))
+         for r in psp.collect()}
+    assert a == b and len(a) > 0
+
+    # shuffled input -> overlapping runs -> decode/merge/re-encode path
+    shuffled = webtext.repartition(7)
+    pso, _, _, _ = ib.build_index(shuffled, mode="chem", plan="spimi")
+    x = _key(bm25.bm25_wand(queries, psp, n, av, k=10, mode="chem").collect())
+    y = _key(bm25.bm25_wand(queries, pso, n, av, k=10, mode="chem").collect())
+    z = _key(bm25.bm25_wand(queries, ps, n, av, k=10, mode="chem").collect())
+    assert x == y == z and len(x) > 0
+
+
 def test_salt_invariance(spark, webtext, queries):
     """Salted merge must be transparent: postings built with salt=1 and
     salt=8 give identical WAND results."""
