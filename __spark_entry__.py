@@ -14,12 +14,16 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cer_for_mti_spark.functions.hashing import md5_60, md5_60_sql
 from cer_for_mti_spark.operators import bm25, dedup, eval_ops, similarity, textstats
 from cer_for_mti_spark.operators import index_build as ib
+from cer_for_mti_spark.sources import formats
+
+ENTITY_CLASSES = ["organic", "inorganic", "nucleotides", "peptides"]
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 K1, B = 1.2, 0.75
 
@@ -289,6 +293,276 @@ def q_multimodal_features(spark, sf_dir):
     return feats.select("media_id", "media_type", "n_bytes")
 
 
+def q_doc_terms_narrow(spark, sf_dir):
+    """Same relation as doc_terms, produced by the no-shuffle scale path
+    (per-doc counting inside the doc row); shares the doc_terms oracle."""
+    return ib.build_doc_terms_narrow(_docs(spark, sf_dir)).select(
+        "doc_id", "term", "tf"
+    )
+
+
+def _h_col():
+    return md5_60(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("term"))
+    )
+
+
+def _cls_col(h):
+    return F.element_at(
+        F.array(*[F.lit(c) for c in ENTITY_CLASSES]),
+        (F.pmod(h, F.lit(4)) + 1).cast("int"),
+    )
+
+
+def q_brat_parse(spark, sf_dir):
+    """S2/F1/F2/F6: synthesize BRAT standoff lines (entity rows, fragment
+    rows, AnnotatorNotes noise) from the documents table, then run the
+    order-free BRAT parser. Oracle computes the expected parse directly."""
+    g = _gold(spark, sf_dir)
+    h = _h_col()
+    sel = (
+        g.filter(F.pmod(h, F.lit(11)) == 0)
+        .withColumn("h", h)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("term")
+            ),
+        )
+    )
+    start = F.pmod("h", F.lit(997))
+    end = start + F.length("term")
+    s_ = lambda c: c.cast("string")  # noqa: E731
+    frag_offsets = F.concat(
+        s_(start), F.lit(" "), s_(start + 1), F.lit(";"), s_(start + 2),
+        F.lit(" "), s_(end),
+    )
+    plain_offsets = F.concat(s_(start), F.lit(" "), s_(end))
+    offsets = F.when(F.pmod("h", F.lit(13)) == 0, frag_offsets).otherwise(
+        plain_offsets
+    )
+    entity_rows = sel.select(
+        s_(F.col("doc_id")).alias("pmid"),
+        F.concat(
+            F.lit("T"), s_(F.col("rn")), F.lit("\t"), _cls_col(F.col("h")),
+            F.lit(" "), offsets, F.lit("\t"), F.col("term"),
+        ).alias("value"),
+    )
+    note_rows = sel.filter(F.pmod("h", F.lit(23)) == 0).select(
+        s_(F.col("doc_id")).alias("pmid"),
+        F.concat(F.lit("#"), s_(F.col("rn")),
+                 F.lit("\tAnnotatorNotes T"), s_(F.col("rn")),
+                 F.lit("\ta note")).alias("value"),
+    )
+    badmeta_rows = sel.filter(F.pmod("h", F.lit(29)) == 0).select(
+        s_(F.col("doc_id")).alias("pmid"),
+        F.concat(F.lit("T"), s_(F.col("rn")),
+                 F.lit("n\tAnnotatorNotes T"), s_(F.col("rn")),
+                 F.lit("\tanother note")).alias("value"),
+    )
+    lines = entity_rows.union(note_rows).union(badmeta_rows)
+    return formats.parse_brat(lines)
+
+
+def q_pubtator_parse(spark, sf_dir):
+    """S5/F3: synthesize PubTator mixed rows (title rows + mention rows of
+    four types), keep mentions with type in (Chemical, Gene)."""
+    g = _gold(spark, sf_dir)
+    h = _h_col()
+    sel = g.filter(F.pmod(h, F.lit(7)) == 0).withColumn("h", h)
+    s_ = lambda c: c.cast("string")  # noqa: E731
+    typ = F.element_at(
+        F.array(F.lit("Chemical"), F.lit("Gene"), F.lit("Disease"),
+                F.lit("Species")),
+        (F.pmod("h", F.lit(4)) + 1).cast("int"),
+    )
+    start = F.pmod("h", F.lit(997))
+    mention_rows = sel.select(
+        F.concat(
+            s_(F.col("doc_id")), F.lit("\t"), s_(start), F.lit("\t"),
+            s_(start + F.length("term")), F.lit("\t"), F.col("term"),
+            F.lit("\t"), typ, F.lit("\tMESH:D000001"),
+        ).alias("value")
+    )
+    title_rows = sel.select(
+        F.concat(s_(F.col("doc_id")), F.lit("|t|Title of "),
+                 s_(F.col("doc_id"))).alias("value")
+    ).dropDuplicates()
+    return formats.parse_pubtator(mention_rows.union(title_rows))
+
+
+def _bio_tokens(spark, sf_dir):
+    """(pmid, pos, token) with 0-based positions from the documents table."""
+    docs = _docs(spark, sf_dir)
+    from cer_for_mti_spark.functions.analyze import simple_tokens_col
+
+    return docs.select(
+        F.col("doc_id").cast("string").alias("pmid"),
+        F.posexplode(simple_tokens_col("text")).alias("pos", "token"),
+    )
+
+
+def q_bio_decode(spark, sf_dir):
+    """W1: BIO entity reconstitution over a deterministic synthetic label
+    stream — running-segment window + ordered concat, per SURVEY.md §2.6."""
+    toks = _bio_tokens(spark, sf_dir)
+    h = md5_60(F.concat(F.col("pmid"), F.lit(":"), F.col("pos").cast("string")))
+    label = (
+        F.when(F.pmod(h, F.lit(5)) == 0, F.lit("B-chem"))
+        .when(F.pmod(h, F.lit(5)) == 1, F.lit("I-chem"))
+        .otherwise(F.lit("O"))
+    )
+    return formats.bio_decode(toks.withColumn("label", label))
+
+
+def q_wordpiece_merge(spark, sf_dir):
+    """W2: WordPiece subtoken merge — 'X'-labelled rows strip '##' and glue
+    to the previous token (running-segment trick)."""
+    toks = _bio_tokens(spark, sf_dir)
+    h = md5_60(F.concat(F.col("pmid"), F.lit(":"), F.col("pos").cast("string")))
+    label = F.when(
+        (F.pmod(h, F.lit(4)) == 0) & (F.col("pos") > 0), F.lit("X")
+    ).otherwise(F.lit("B-c"))
+    piece = F.when(label == "X", F.concat(F.lit("##"), F.col("token"))).otherwise(
+        F.col("token")
+    )
+    return formats.merge_wordpiece(
+        toks.select("pmid", "pos", piece.alias("token"), label.alias("label"))
+    )
+
+
+def q_entity_class_counts(spark, sf_dir):
+    """A2: per-class entity counts + distinct-term variant
+    (count_entities / count_unique_entities)."""
+    g = _gold(spark, sf_dir)
+    h = _h_col()
+    # filter modulus must be coprime with the 4-way class split (gcd(5,4)=1)
+    # or the surviving hashes cover only half the classes
+    spans = g.filter(F.pmod(h, F.lit(5)) == 0).withColumn("cls", _cls_col(h))
+    return eval_ops.count_entities(spans)
+
+
+def q_token_span_join(spark, sf_dir):
+    """J6: token-position -> entity-span range join. Token char offsets
+    come from a running-sum window; spans are hash-derived. The join is an
+    equi-join on doc_id with a range predicate (never a cross join)."""
+    toks = _bio_tokens(spark, sf_dir).withColumn(
+        "doc_id", F.col("pmid").cast("long")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    toks = toks.withColumn(
+        "tok_start", F.coalesce(F.sum(F.length("token") + 1).over(w), F.lit(0))
+    )
+    g = _gold(spark, sf_dir)
+    h = _h_col()
+    spans = g.filter(F.pmod(h, F.lit(19)) == 0).select(
+        "doc_id",
+        F.pmod(h, F.lit(200)).alias("span_start"),
+        (F.pmod(h, F.lit(200)) + 5 + F.pmod(h, F.lit(50))).alias("span_end"),
+    ).dropDuplicates()
+    joined = toks.join(spans, "doc_id").filter(
+        (F.col("tok_start") >= F.col("span_start"))
+        & (F.col("tok_start") < F.col("span_end"))
+    )
+    return joined.groupBy("doc_id", "span_start", "span_end").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct_tokens"),
+    )
+
+
+BOOTSTRAP_ITERS = 100
+
+
+def q_bootstrap_prf(spark, sf_dir):
+    """A5/J5: deterministic bootstrap — resample docs with replacement via
+    the portable hash (draw j of iter i picks doc index md5(i:j) % n), join
+    multiplicities against per-doc tp/fp/fn, emit per-iter micro counts +
+    P/R/F1. Integer counts make the oracle comparison exact."""
+    gold, pred = _gold(spark, sf_dir), _pred(spark, sf_dir)
+    tp = eval_ops.intersect_sets(gold, pred).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("tp"))
+    fp = eval_ops.except_sets(pred, gold).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("fp"))
+    fn = eval_ops.except_sets(gold, pred).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("fn"))
+    per_doc = (
+        tp.join(fp, "doc_id", "full_outer")
+        .join(fn, "doc_id", "full_outer")
+        .fillna(0)
+    )
+    docs_idx = (
+        gold.select("doc_id").distinct()
+        .withColumn(
+            "idx",
+            F.row_number().over(Window.orderBy("doc_id")).cast("long") - 1,
+        )
+    )
+    n = docs_idx.count()
+    draws = spark.range(BOOTSTRAP_ITERS * n).select(
+        (F.col("id") / n).cast("long").alias("iter"),
+        F.pmod(
+            md5_60(
+                F.concat(
+                    (F.col("id") / n).cast("long").cast("string"), F.lit(":"),
+                    F.pmod(F.col("id"), F.lit(n)).cast("string"),
+                )
+            ),
+            F.lit(n),
+        ).alias("idx"),
+    )
+    mult = draws.groupBy("iter", "idx").agg(F.count(F.lit(1)).alias("mult"))
+    resampled = (
+        mult.join(F.broadcast(docs_idx), "idx")
+        .join(F.broadcast(per_doc), "doc_id")
+        .groupBy("iter")
+        .agg(
+            F.sum(F.col("mult") * F.col("tp")).alias("tp"),
+            F.sum(F.col("mult") * F.col("fp")).alias("fp"),
+            F.sum(F.col("mult") * F.col("fn")).alias("fn"),
+        )
+    )
+    return eval_ops.prf_cols(resampled).select(
+        "iter", "tp", "fp", "fn", "precision", "recall", "fscore"
+    )
+
+
+def q_bootstrap_stats(spark, sf_dir):
+    """A5 aggregate form (mean/stddev over seeded numpy resamples, seed 13
+    like the reference) — non-SQL-reproducible RNG, rows-only check; the
+    hash-resample twin q_bootstrap_prf carries the exact oracle."""
+    return eval_ops.bootstrap_prf(
+        _gold(spark, sf_dir), _pred(spark, sf_dir), n_iter=200, seed=13
+    )
+
+
+def q_token_count_bpe(spark, sf_dir):
+    """Token counting: whitespace count vs BPE-ish regex segment count
+    (letters / digit runs / single punctuation)."""
+    docs = _docs(spark, sf_dir)
+    from cer_for_mti_spark.functions.analyze import simple_tokens_col
+
+    return docs.select(
+        "doc_id",
+        F.size(simple_tokens_col("text")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF approximate nearest neighbour: coarse-quantize into 16 cells
+    (deterministic centroids = first 16 corpus vectors), probe the 4
+    nearest cells per query, exact-score inside them."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return similarity.ivf_topk(emb, qs, k=5, n_centroids=16, nprobe=4)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build + block-max WAND BM25 top-10 at sf0.001."""
     return q_bm25_wand(spark, "/root/testdata/sf0.001")
@@ -320,6 +594,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "event_stats": q_event_stats,
         "multimodal_features": q_multimodal_features,
+        "doc_terms_narrow": q_doc_terms_narrow,
+        "brat_parse": q_brat_parse,
+        "pubtator_parse": q_pubtator_parse,
+        "bio_decode": q_bio_decode,
+        "wordpiece_merge": q_wordpiece_merge,
+        "entity_class_counts": q_entity_class_counts,
+        "token_span_join": q_token_span_join,
+        "bootstrap_prf": q_bootstrap_prf,
+        "bootstrap_stats": q_bootstrap_stats,
+        "token_count_bpe": q_token_count_bpe,
+        "ann_ivf": q_ann_ivf,
     }
 
 
@@ -447,6 +732,160 @@ WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.8
 """
 
 
+_CLS_SQL = "(['organic','inorganic','nucleotides','peptides'])[(h % 4 + 1)]"
+
+# 0-based token positions (Spark posexplode is 0-based; DuckDB
+# generate_subscripts is 1-based)
+_TOKPOS0_CTE = (
+    "t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), "
+    "x -> x <> '') AS a FROM documents), "
+    "tokpos AS (SELECT doc_id, unnest(a) AS token, "
+    "generate_subscripts(a, 1) - 1 AS pos FROM t)"
+)
+_HP_SQL = md5_60_sql("doc_id::VARCHAR || ':' || pos::VARCHAR")
+
+
+def _brat_parse_sql() -> str:
+    return f"""
+WITH {_GOLD_CTE},
+sel AS (SELECT doc_id, term, {_H_SQL} AS h FROM gold WHERE {_H_SQL} % 11 = 0),
+rn AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY term) AS rn
+       FROM sel)
+SELECT doc_id::VARCHAR AS pmid, 'T' || rn::VARCHAR AS ann_id,
+       {_CLS_SQL} AS cls,
+       (h % 997)::INT AS "start",
+       (h % 997 + length(term))::INT AS "end",
+       term
+FROM rn
+"""
+
+
+def _pubtator_parse_sql() -> str:
+    return f"""
+WITH {_GOLD_CTE},
+sel AS (SELECT doc_id, term, {_H_SQL} AS h FROM gold WHERE {_H_SQL} % 7 = 0)
+SELECT doc_id::VARCHAR AS pmid, (h % 997)::INT AS "start",
+       (h % 997 + length(term))::INT AS "end", term,
+       (['Chemical','Gene','Disease','Species'])[(h % 4 + 1)] AS type
+FROM sel WHERE (h % 4) IN (0, 1)
+"""
+
+
+def _bio_decode_sql() -> str:
+    return f"""
+WITH {_TOKPOS0_CTE},
+lab AS (SELECT doc_id, pos, token,
+        CASE WHEN {_HP_SQL} % 5 = 0 THEN 'B-chem'
+             WHEN {_HP_SQL} % 5 = 1 THEN 'I-chem' ELSE 'O' END AS label
+        FROM tokpos),
+segd AS (SELECT *, sum(CASE WHEN label NOT LIKE 'I%' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS seg
+         FROM lab),
+ents AS (SELECT doc_id, seg, string_agg(token, ' ' ORDER BY pos) AS raw,
+                arg_min(label, pos) AS first_label, min(pos)::INT AS pos
+         FROM segd GROUP BY 1, 2)
+SELECT doc_id::VARCHAR AS pmid, pos,
+       regexp_replace(raw, '\\s*([-/()])\\s*', '\\1', 'g') AS term,
+       regexp_extract(first_label, '^B-?(.*)$', 1) AS cls
+FROM ents WHERE first_label LIKE 'B%'
+"""
+
+
+def _wordpiece_merge_sql() -> str:
+    return f"""
+WITH {_TOKPOS0_CTE},
+lab AS (SELECT doc_id, pos, token,
+        CASE WHEN {_HP_SQL} % 4 = 0 AND pos > 0 THEN 'X' ELSE 'B-c' END
+          AS label
+        FROM tokpos),
+piece AS (SELECT doc_id, pos, label,
+          CASE WHEN label = 'X' THEN '##' || token ELSE token END AS token
+          FROM lab),
+segd AS (SELECT *, sum(CASE WHEN label <> 'X' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS seg
+         FROM piece)
+SELECT doc_id::VARCHAR AS pmid, min(pos)::INT AS pos,
+       string_agg(regexp_replace(token, '^##', ''), '' ORDER BY pos) AS token,
+       arg_min(label, pos) AS label
+FROM segd GROUP BY doc_id, seg
+"""
+
+
+def _bootstrap_prf_sql() -> str:
+    # draw (iter, j) for every iter in [0,ITERS) x every doc index j; the
+    # chosen doc is md5(iter:j) % n. DuckDB's range() can't lateral-join on
+    # cn.n, so the j dimension comes from docs_idx itself.
+    h_draw = md5_60_sql("r.it::VARCHAR || ':' || d.idx::VARCHAR")
+    return f"""
+WITH {_GOLD_CTE}, {_PRED_CTE},
+tpd AS (SELECT doc_id, count(*)::BIGINT AS tp FROM
+        (SELECT DISTINCT g.doc_id, g.term FROM gold g
+         JOIN pred p ON g.doc_id = p.doc_id AND g.term = p.term) GROUP BY 1),
+fpd AS (SELECT doc_id, count(*)::BIGINT AS fp FROM
+        (SELECT DISTINCT doc_id, term FROM pred
+         EXCEPT SELECT DISTINCT doc_id, term FROM gold) GROUP BY 1),
+fnd AS (SELECT doc_id, count(*)::BIGINT AS fn FROM
+        (SELECT DISTINCT doc_id, term FROM gold
+         EXCEPT SELECT DISTINCT doc_id, term FROM pred) GROUP BY 1),
+per_doc AS (SELECT coalesce(tpd.doc_id, fpd.doc_id, fnd.doc_id) AS doc_id,
+                   coalesce(tp, 0) AS tp, coalesce(fp, 0) AS fp,
+                   coalesce(fn, 0) AS fn
+            FROM tpd FULL JOIN fpd USING (doc_id) FULL JOIN fnd USING (doc_id)),
+docs_idx AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS idx
+             FROM (SELECT DISTINCT doc_id FROM gold)),
+cn AS (SELECT count(*)::BIGINT AS n FROM docs_idx),
+draws AS (SELECT r.it::BIGINT AS iter, ({h_draw} % cn.n) AS idx
+          FROM docs_idx d, range({BOOTSTRAP_ITERS}) AS r(it), cn),
+mult AS (SELECT iter, idx, count(*)::BIGINT AS mult FROM draws GROUP BY 1, 2),
+resampled AS (SELECT iter, sum(mult * tp)::BIGINT AS tp,
+                     sum(mult * fp)::BIGINT AS fp,
+                     sum(mult * fn)::BIGINT AS fn
+              FROM mult JOIN docs_idx USING (idx) JOIN per_doc USING (doc_id)
+              GROUP BY 1)
+SELECT iter, tp, fp, fn,
+       round(CASE WHEN fp + tp = 0 THEN NULL ELSE tp / (fp + tp) END, 4)
+         AS precision,
+       round(CASE WHEN fn + tp = 0 THEN NULL ELSE tp / (fn + tp) END, 4)
+         AS recall,
+       round(CASE WHEN fp + tp = 0 OR fn + tp = 0
+                  OR tp / (fp + tp) + tp / (fn + tp) = 0 THEN NULL
+             ELSE 2.0 * (tp / (fp + tp)) * (tp / (fn + tp))
+                  / (tp / (fp + tp) + tp / (fn + tp)) END, 4) AS fscore
+FROM resampled
+"""
+
+
+def _ann_ivf_sql() -> str:
+    return """
+WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+           WHERE vec_id < 16),
+e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+asgn AS (SELECT id, v, cid AS cell FROM (
+    SELECT e.id, e.v, c.cid, row_number() OVER (
+        PARTITION BY e.id
+        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid ASC
+      ) AS rn
+    FROM e, c) WHERE rn = 1),
+q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id < 5),
+qc AS (SELECT qid, qv, cid AS cell FROM (
+    SELECT q.qid, q.qv, c.cid, row_number() OVER (
+        PARTITION BY q.qid
+        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cid ASC
+      ) AS rn
+    FROM q, c) WHERE rn <= 4),
+scored AS (SELECT qc.qid, a.id,
+                  round(list_cosine_similarity(a.v, qc.qv), 6) AS cosine
+           FROM qc JOIN asgn a USING (cell))
+SELECT qid AS q_id, id AS vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY qid ORDER BY cosine DESC, id ASC)::INT AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
 _EN = "('the','and','of','to','is','was','that','with')"
 _DE = "('der','die','das','und','ist','nicht','mit','ein')"
 _FR = "('le','la','les','et','est','dans','pour','une')"
@@ -474,6 +913,46 @@ SELECT l_orderkey,
 FROM lineitem GROUP BY 1 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
 """,
         "doc_terms": f"WITH {_TOKS_CTE}, {_DT_CTE} SELECT * FROM dt",
+        "doc_terms_narrow": f"WITH {_TOKS_CTE}, {_DT_CTE} SELECT * FROM dt",
+        "brat_parse": _brat_parse_sql(),
+        "pubtator_parse": _pubtator_parse_sql(),
+        "bio_decode": _bio_decode_sql(),
+        "wordpiece_merge": _wordpiece_merge_sql(),
+        "entity_class_counts": f"""
+WITH {_GOLD_CTE},
+sel AS (SELECT doc_id, term, {_H_SQL} AS h FROM gold WHERE {_H_SQL} % 5 = 0)
+SELECT {_CLS_SQL} AS cls, count(*)::BIGINT AS n,
+       count(DISTINCT term)::BIGINT AS n_unique
+FROM sel GROUP BY 1
+""",
+        "token_span_join": f"""
+WITH {_TOKPOS0_CTE},
+offs AS (SELECT doc_id, pos, token,
+         coalesce(sum(length(token) + 1) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS tok_start
+         FROM tokpos),
+gold AS (SELECT DISTINCT doc_id, token AS term FROM tokpos),
+spans AS (SELECT DISTINCT doc_id, ({_H_SQL} % 200) AS span_start,
+                 ({_H_SQL} % 200 + 5 + {_H_SQL} % 50) AS span_end
+          FROM gold WHERE {_H_SQL} % 19 = 0)
+SELECT o.doc_id, s.span_start, s.span_end, count(*)::BIGINT AS n_tokens,
+       count(DISTINCT o.token)::BIGINT AS n_distinct_tokens
+FROM offs o JOIN spans s ON o.doc_id = s.doc_id
+     AND o.tok_start >= s.span_start AND o.tok_start < s.span_end
+GROUP BY 1, 2, 3
+""",
+        "bootstrap_prf": _bootstrap_prf_sql(),
+        "token_count_bpe": f"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\\s+'),
+                       x -> x <> ''))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text,
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe_tokens
+FROM documents
+""",
+        "ann_ivf": _ann_ivf_sql(),
         "term_dictionary": f"""
 WITH {_TOKS_CTE}, {_DT_CTE}
 SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM dt GROUP BY 1

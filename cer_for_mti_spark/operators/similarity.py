@@ -55,6 +55,90 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def ivf_assign(emb: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               c_id_col: str = "c_id", c_vec_col: str = "c_vec") -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine (ties -> lower
+    centroid id). Broadcast the (small) centroid set; the corpus is scanned
+    once, no shuffle of the corpus side. -> (id, v, vnorm, cell)."""
+    corpus = emb.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+    ).withColumn("vnorm", _norm(F.col("v")))
+    cents = centroids.select(
+        F.col(c_id_col).alias("cid"), _as_double(c_vec_col).alias("cv")
+    ).withColumn("cnorm", _norm(F.col("cv")))
+    dot = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = corpus.join(F.broadcast(cents)).withColumn(
+        "csim", F.round(dot / (F.col("vnorm") * F.col("cnorm")), 6)
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "v", "vnorm", F.col("cid").alias("cell"))
+    )
+
+
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+             centroids: DataFrame | None = None) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into n_centroids
+    cells (centroids default to the first n_centroids corpus vectors —
+    deterministic, SQL-reproducible; a k-means refinement would slot in
+    here unchanged), probe each query's nprobe nearest cells, exact-score
+    only the probed cells.
+
+    Scale shape: the cell assignment is a one-pass broadcast join (at
+    100 TB the assigned table is written once, partitioned BY cell, so a
+    query's probe list prunes the scan to nprobe/n_centroids of the
+    corpus — the IVF analogue of the postings shard pruning)."""
+    if centroids is None:
+        centroids = emb.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+        )
+    assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+
+    qs = queries.select(
+        F.col(q_id_col).alias("qid"), _as_double(q_vec_col).alias("q")
+    ).withColumn("qnorm", _norm(F.col("q")))
+    cents = centroids.select(
+        F.col("c_id").alias("cid"), _as_double("c_vec").alias("cv")
+    ).withColumn("cnorm", _norm(F.col("cv")))
+    qdot = F.aggregate(
+        F.zip_with("q", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    qcells = (
+        qs.join(F.broadcast(cents))
+        .withColumn("csim", F.round(qdot / (F.col("qnorm") * F.col("cnorm")), 6))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("cid"))
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "q", "qnorm", F.col("cid").alias("cell"))
+    )
+
+    dot = F.aggregate(
+        F.zip_with("v", "q", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = assigned.join(F.broadcast(qcells), "cell").withColumn(
+        "cosine", F.round(dot / (F.col("vnorm") * F.col("qnorm")), 6)
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("q_id"), F.col("id").alias("vec_id"),
+                "cosine", "rank")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))

@@ -1,0 +1,94 @@
+"""Driver-contract simulation: run every __spark_entry__.queries() entry
+AND its oracle_sql() twin on the same parquet tables at sf0.001, compare
+row multisets with columns sorted by name (the driver's comparison shape:
+row-count + schema + value hash). Catches Spark↔DuckDB drift before the
+driver's correctness gate does.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as se
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck_rows(sql: str):
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+            )
+        cur = con.execute(sql)
+        cols = [d[0] for d in cur.description]
+        return cols, cur.fetchall()
+    finally:
+        con.close()
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        # driver hashes exact values; we allow 1e-9 slack via rounding
+        return round(v, 9)
+    if isinstance(v, bool):
+        return int(v)
+    return v
+
+
+def _normalize(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(
+        tuple(_norm_cell(r[i]) for i in order) for r in rows
+    )
+    return [cols[i] for i in order], out
+
+
+ORACLE_KEYS = sorted(se.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(spark, name):
+    q = se.queries()[name]
+    sdf = q(spark, SF_DIR)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    o_cols, o_rows = _duck_rows(se.oracle_sql()[name])
+
+    nc_s, nr_s = _normalize(s_cols, s_rows)
+    nc_o, nr_o = _normalize(o_cols, o_rows)
+    assert nc_s == nc_o, f"{name}: column names differ: {nc_s} vs {nc_o}"
+    assert len(nr_s) == len(nr_o), (
+        f"{name}: row counts differ: spark={len(nr_s)} duckdb={len(nr_o)}"
+    )
+    mismatches = [
+        (a, b) for a, b in zip(nr_s, nr_o) if a != b
+    ]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} row mismatches; first 3: {mismatches[:3]}"
+    )
+
+
+def test_all_queries_have_entries():
+    """Every queries() entry either has an oracle or documents why not."""
+    qs = set(se.queries().keys())
+    os_ = set(se.oracle_sql().keys())
+    assert os_ <= qs, f"oracles without queries: {os_ - qs}"
+    no_oracle = qs - os_
+    # non-SQL-expressible paths (driver records rows-only checks)
+    allowed = {
+        "bm25_wand", "ann_lsh", "multimodal_features", "bootstrap_stats",
+    }
+    assert no_oracle <= allowed, f"undocumented oracle gaps: {no_oracle - allowed}"

@@ -31,6 +31,20 @@ def test_brute_force_deterministic(emb, qs):
     assert a == b
 
 
+def test_ivf_self_rank1_and_recall(emb, qs):
+    """IVF: self-match must be found (a query identical to a corpus vector
+    lands in the same cell it was assigned to), and recall vs brute force
+    stays useful at nprobe=4/16 cells."""
+    k = 5
+    brute = similarity.brute_force_topk(emb, qs, k=k).collect()
+    approx = similarity.ivf_topk(emb, qs, k=k, n_centroids=16, nprobe=4).collect()
+    got = {(r.q_id, r.vec_id) for r in approx}
+    assert all((q, q) in got for q in range(8))
+    truth = {(r.q_id, r.vec_id) for r in brute}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, f"IVF recall {recall}"
+
+
 def test_lsh_recall(emb, qs):
     k = 5
     brute = similarity.brute_force_topk(emb, qs, k=k).collect()
