@@ -563,6 +563,20 @@ def q_ann_ivf(spark, sf_dir):
     return similarity.ivf_topk(emb, qs, k=5, n_centroids=16, nprobe=4)
 
 
+def q_reference_golden_metrics(spark, sf_dir):
+    """Rows-only: reproduce the reference's committed evaluation table
+    (13 tools, P/R/F1 to 4 decimals) from its own data files — exactness
+    is asserted in tests/test_reference_parity.py. Returns an empty frame
+    when /root/reference is absent."""
+    from cer_for_mti_spark.operators import reference_parity as rp
+
+    if not rp.reference_available():
+        return spark.createDataFrame(
+            [], "tool string, precision double, recall double, fscore double"
+        )
+    return rp.golden_table(spark)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build + block-max WAND BM25 top-10 at sf0.001."""
     return q_bm25_wand(spark, "/root/testdata/sf0.001")
@@ -605,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_stats": q_bootstrap_stats,
         "token_count_bpe": q_token_count_bpe,
         "ann_ivf": q_ann_ivf,
+        "reference_golden_metrics": q_reference_golden_metrics,
     }
 
 

@@ -159,12 +159,13 @@ def _phase_queries() -> None:
     timings["bm25_naive_30q"] = round(time.time() - t0, 3)
 
     # BM25 top-10 latency p50 (BASELINE.json metric): one job per query
-    # over the warmed sharded index
+    # via the scan-pruned path (shard partition pruning + term pushdown —
+    # what a production single query does; see PLANS.md plan 4)
     lat = []
     for qid, q in qrows[:10]:
         q1 = spark.createDataFrame([(qid, q)], "query_id int, query string")
         t0 = time.time()
-        bm25.bm25_wand(q1, postings, n, avgdl, k=10).count()
+        bm25.bm25_wand_from_index(spark, idx, q1, n, avgdl, k=10).count()
         lat.append(time.time() - t0)
     lat.sort()
     p50 = lat[len(lat) // 2]

@@ -260,6 +260,54 @@ def bm25_wand(queries: DataFrame, postings: DataFrame, n_docs: int,
     return fetched.groupBy("query_id").applyInPandas(score_group, TOPK_SCHEMA)
 
 
+def read_postings_pruned(spark, index_path: str, query_terms: list[str],
+                         num_shards: int = 32) -> DataFrame:
+    """Scan-pruned postings read for a query batch: the term list and its
+    shard ids are known before the scan (shard = md5_60(term) % S is a
+    pure function of the term), so BOTH predicates are literal filters —
+    `shard` prunes whole partition directories (PartitionFilters) and
+    `term` pushes into the parquet row-group scan (PushedFilters). At
+    10^12 docs this is the difference between touching S directories and
+    touching |query_terms| row groups. The broadcast-join path
+    (bm25_wand on an open postings DF) cannot do this: join keys don't
+    push down into a columnar scan without DPP, and DPP doesn't apply to
+    non-partition join columns."""
+    from cer_for_mti_spark.functions.hashing import md5_60_py
+
+    shards = sorted({md5_60_py(t) % num_shards for t in query_terms})
+    df = spark.read.option("basePath", f"{index_path}/postings").parquet(
+        f"{index_path}/postings"
+    )
+    return df.filter(
+        F.col("shard").isin(shards) & F.col("term").isin(list(query_terms))
+    )
+
+
+def bm25_wand_from_index(spark, index_path: str, queries: DataFrame,
+                         n_docs: int, avgdl: float, k: int = 10,
+                         mode: str = "simple", num_shards: int = 32,
+                         scorer: str = "auto") -> DataFrame:
+    """End-to-end query path over a written index: analyze the query batch
+    driver-side (tiny), prune the postings scan by shard + term, then
+    score. Rank-identical to bm25_wand over the full postings relation."""
+    from cer_for_mti_spark.functions.analyze import chem_tokenize_str
+    from cer_for_mti_spark.operators.index_build import _JAVA_WS_RE
+
+    q_rows = queries.collect()  # query batch is small by definition
+    terms = set()
+    for r in q_rows:
+        if mode == "simple":
+            # same split semantics as the JVM simple tokenizer (ASCII \s)
+            terms.update(t for t in _JAVA_WS_RE.split(r["query"] or "") if t)
+        else:
+            terms.update(chem_tokenize_str(r["query"] or ""))
+    if not terms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    pruned = read_postings_pruned(spark, index_path, sorted(terms), num_shards)
+    return bm25_wand(queries, pruned, n_docs, avgdl, k=k, mode=mode,
+                     scorer=scorer)
+
+
 def bm25_from_postings_naive(queries: DataFrame, postings: DataFrame,
                              n_docs: int, avgdl: float, k: int = 10,
                              mode: str = "simple") -> DataFrame:

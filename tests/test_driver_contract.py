@@ -90,5 +90,6 @@ def test_all_queries_have_entries():
     # non-SQL-expressible paths (driver records rows-only checks)
     allowed = {
         "bm25_wand", "ann_lsh", "multimodal_features", "bootstrap_stats",
+        "reference_golden_metrics",
     }
     assert no_oracle <= allowed, f"undocumented oracle gaps: {no_oracle - allowed}"

@@ -145,6 +145,29 @@ def test_salt_invariance(spark, webtext, queries):
     assert a == b
 
 
+def test_pruned_index_query_path(spark, webtext, queries, tmp_path):
+    """bm25_wand_from_index (shard+term scan pruning) is rank-identical to
+    scoring over the full postings relation, and the physical plan shows
+    the shard partition filter + pushed term filter reaching the scan."""
+    postings, ds, n, avgdl = ib.build_index(webtext, mode="chem", plan="spimi")
+    path = str(tmp_path / "idx")
+    ib.write_index(postings, ds, path, num_shards=8)
+
+    full_p = spark.read.option("basePath", f"{path}/postings").parquet(
+        f"{path}/postings"
+    )
+    a = _key(bm25.bm25_wand(queries, full_p, n, avgdl, k=10,
+                            mode="chem").collect())
+    b = _key(bm25.bm25_wand_from_index(spark, path, queries, n, avgdl, k=10,
+                                       mode="chem", num_shards=8).collect())
+    assert a == b and len(a) > 0
+
+    pruned = bm25.read_postings_pruned(spark, path, ["insulin"], num_shards=8)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard" in plan
+    assert "PushedFilters" in plan and "term" in plan
+
+
 def test_parallelism_determinism(spark, webtext, index_300, queries):
     """Same input at different partitioning -> identical top-k (the N vs
     4N rank-identity contract, SURVEY.md §4.2.5)."""
