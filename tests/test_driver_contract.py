@@ -9,12 +9,14 @@ from __future__ import annotations
 
 import math
 
+import os
+
 import duckdb
 import pytest
 
 import __spark_entry__ as se
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("CONTRACT_SF_DIR", "/root/testdata/sf0.001")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
