@@ -418,7 +418,8 @@ def build_postings(doc_terms: DataFrame, doc_stats: DataFrame, avgdl: float,
 
 def build_postings_spimi(docs: DataFrame, avgdl: float,
                          mode: str = "simple",
-                         text_col: str = "text") -> DataFrame:
+                         text_col: str = "text",
+                         max_postings_in_memory: int = 20_000_000) -> DataFrame:
     """Classic SPIMI (Heinz/Zobel-style single-pass in-memory indexing,
     the design SURVEY.md §4.2 names): ONE mapInPandas pass per input
     partition does tokenize -> per-doc count -> per-term posting-run
@@ -435,7 +436,14 @@ def build_postings_spimi(docs: DataFrame, avgdl: float,
     crosses the network.
 
     Requires avgdl up front (block maxes bake in the BM25 length norm) —
-    pass 1 computes doc_stats/avgdl narrowly; this is pass 2."""
+    pass 1 computes doc_stats/avgdl narrowly; this is pass 2.
+
+    max_postings_in_memory is the classic SPIMI memory budget: when a
+    partition's accumulated (term -> postings) state reaches it, the run
+    set is FLUSHED (encoded and emitted) and accumulation restarts — a
+    term then simply contributes several runs from that partition, all
+    disjoint contiguous doc slices, so the byte-concat merge is unchanged.
+    This bounds executor memory by the budget, not the split size."""
     from collections import defaultdict
 
     if mode == "simple":
@@ -465,6 +473,34 @@ def build_postings_spimi(docs: DataFrame, avgdl: float,
         from collections import Counter
 
         acc: dict[str, list] = defaultdict(lambda: ([], [], []))
+        n_postings = 0
+
+        def flush():
+            out = {
+                "term": [], "first_id": [], "last_id": [], "df": [],
+                "doc_ids": [], "tfs": [], "doclens": [],
+                "block_last": [], "block_max": [], "max_impact": [],
+            }
+            for term, (ids_l, tfs_l, dls_l) in acc.items():
+                ids = np.asarray(ids_l, dtype=np.int64)
+                order = np.argsort(ids, kind="stable")
+                ids = ids[order]
+                tfs = np.asarray(tfs_l, dtype=np.uint64)[order]
+                dls = np.asarray(dls_l, dtype=np.uint64)[order]
+                d, t, dl_b, bl, bm, mi = _encode_arrays(ids, tfs, dls, avgdl)
+                out["term"].append(term)
+                out["first_id"].append(int(ids[0]))
+                out["last_id"].append(int(ids[-1]))
+                out["df"].append(len(ids))
+                out["doc_ids"].append(d)
+                out["tfs"].append(t)
+                out["doclens"].append(dl_b)
+                out["block_last"].append(bl)
+                out["block_max"].append(bm)
+                out["max_impact"].append(mi)
+            acc.clear()
+            return _object_df(out)
+
         for pdf in batches:
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
                 c = Counter(toks(text))
@@ -474,29 +510,11 @@ def build_postings_spimi(docs: DataFrame, avgdl: float,
                     ids.append(doc_id)
                     tfs.append(tf)
                     dls.append(dl)
-        out = {
-            "term": [], "first_id": [], "last_id": [], "df": [],
-            "doc_ids": [], "tfs": [], "doclens": [],
-            "block_last": [], "block_max": [], "max_impact": [],
-        }
-        for term, (ids_l, tfs_l, dls_l) in acc.items():
-            ids = np.asarray(ids_l, dtype=np.int64)
-            order = np.argsort(ids, kind="stable")
-            ids = ids[order]
-            tfs = np.asarray(tfs_l, dtype=np.uint64)[order]
-            dls = np.asarray(dls_l, dtype=np.uint64)[order]
-            d, t, dl_b, bl, bm, mi = _encode_arrays(ids, tfs, dls, avgdl)
-            out["term"].append(term)
-            out["first_id"].append(int(ids[0]))
-            out["last_id"].append(int(ids[-1]))
-            out["df"].append(len(ids))
-            out["doc_ids"].append(d)
-            out["tfs"].append(t)
-            out["doclens"].append(dl_b)
-            out["block_last"].append(bl)
-            out["block_max"].append(bm)
-            out["max_impact"].append(mi)
-        yield _object_df(out)
+                n_postings += len(c)
+                if n_postings >= max_postings_in_memory:
+                    yield flush()  # SPIMI memory-budget flush
+                    n_postings = 0
+        yield flush()
 
     runs = docs.select("doc_id", text_col).mapInPandas(
         spimi_partition, run_schema_str

@@ -53,6 +53,79 @@ def stream_doc_terms(spark: SparkSession, input_dir: str,
     )
 
 
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, total_value double"
+)
+_SESSION_STATE_SCHEMA = "start long, end long, n long, total double"
+
+
+def sessionize_stream(events_stream: DataFrame, gap_seconds: int = 1800,
+                      watermark: str = "30 minutes") -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user session windows with an inactivity gap. A session closes when
+    the event-time gap exceeds `gap_seconds` (emitted on the next batch
+    that proves the gap) or when the state times out past the watermark.
+
+    This is the engine's demonstration of arbitrary stateful processing —
+    the shape the reference's doc-boundary key-change scan (SURVEY.md W4)
+    would take if its input were unbounded. State per key is O(1) (the
+    open session's aggregates), so 10^9 users shard across executors by
+    the groupBy key with no skew beyond the user-activity distribution."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        user_id = key[0]
+        if state.hasTimedOut:
+            start, end, n, total = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start, unit="s")],
+                "session_end": [pd.Timestamp(end, unit="s")],
+                "n_events": [n], "total_value": [total],
+            })
+            return
+        rows = []
+        ts_all, val_all = [], []
+        for pdf in pdfs:
+            ts_all.extend(int(t.timestamp()) for t in pdf["ts"])
+            val_all.extend(float(v) for v in pdf["value"])
+        order = sorted(range(len(ts_all)), key=lambda i: ts_all[i])
+        cur = list(state.get) if state.exists else None
+        for i in order:
+            t, v = ts_all[i], val_all[i]
+            if cur is None:
+                cur = [t, t, 0, 0.0]
+            elif t - cur[1] > gap_seconds:
+                rows.append(cur)
+                cur = [t, t, 0, 0.0]
+            cur[1] = max(cur[1], t)
+            cur[2] += 1
+            cur[3] += v
+        if cur is not None:
+            state.update(tuple(cur))
+            state.setTimeoutTimestamp(cur[1] * 1000 + gap_seconds * 1000)
+        if rows:
+            yield pd.DataFrame({
+                "user_id": [user_id] * len(rows),
+                "session_start": [pd.Timestamp(r[0], unit="s") for r in rows],
+                "session_end": [pd.Timestamp(r[1], unit="s") for r in rows],
+                "n_events": [r[2] for r in rows],
+                "total_value": [r[3] for r in rows],
+            })
+
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, SESSION_SCHEMA, _SESSION_STATE_SCHEMA,
+            "append", GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def windowed_event_counts(events_stream: DataFrame,
                           window: str = "5 minutes",
                           slide: str = "1 minute",

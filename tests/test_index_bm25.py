@@ -131,6 +131,16 @@ def test_build_index_spimi_parity(spark, webtext, queries):
     z = _key(bm25.bm25_wand(queries, ps, n, av, k=10, mode="chem").collect())
     assert x == y == z and len(x) > 0
 
+    # SPIMI memory budget: a tiny budget forces many sub-run flushes per
+    # partition; postings must still be byte-identical in content
+    ds = ib.build_doc_stats(webtext, mode="chem")
+    n2, av2 = ib.corpus_stats(ds)
+    p_small = ib.build_postings_spimi(webtext, av2, mode="chem",
+                                      max_postings_in_memory=500)
+    c = {r["term"]: (r["df"], bytes(r["doc_ids"]), bytes(r["tfs"]))
+         for r in p_small.collect()}
+    assert c == a
+
 
 def test_salt_invariance(spark, webtext, queries):
     """Salted merge must be transparent: postings built with salt=1 and

@@ -39,6 +39,44 @@ def test_stream_doc_terms_matches_batch(spark, tmp_path):
     assert spark.read.parquet(delta_dir).count() == len(a)
 
 
+def test_sessionize_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: sessions separated by more
+    than the gap are emitted; aggregates match the batch computation."""
+    rows = [
+        (1, "2025-01-01 00:00:00", 1.0),
+        (1, "2025-01-01 00:10:00", 2.0),
+        (1, "2025-01-01 02:00:00", 3.0),   # > 30min gap -> new session
+        (2, "2025-01-01 00:05:00", 5.0),
+        (1, "2025-01-01 02:05:00", 4.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string, value double").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts"), "value"
+    )
+    src = str(tmp_path / "sess_in")
+    df.coalesce(1).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .parquet(src)
+    )
+    out = ingest.sessionize_stream(stream, gap_seconds=1800)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory").queryName("sessions")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.n_events, r.total_value)
+        for r in spark.sql("select * from sessions").collect()
+    }
+    # the first user-1 session (2 events, value 3.0) is provably closed by
+    # the 02:00 event; later sessions wait in state for timeout/more data
+    assert (1, 2, 3.0) in got
+
+
 def test_windowed_event_counts(spark, tmp_path):
     """Watermarked sliding window over a file stream: counts per
     (window, event_type) match a batch groupBy on the same data."""
