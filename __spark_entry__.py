@@ -563,6 +563,41 @@ def q_ann_ivf(spark, sf_dir):
     return similarity.ivf_topk(emb, qs, k=5, n_centroids=16, nprobe=4)
 
 
+PHRASES = [(0, "the of"), (1, "of the and"), (2, "the the"),
+           (3, "key order sort")]
+
+
+def q_phrase_search(spark, sf_dir):
+    """Positional-postings phrase match: build the positional index
+    (single-pass SPIMI, compressed positions) and count exact token-
+    adjacency occurrences per (phrase, doc)."""
+    from cer_for_mti_spark.operators import phrase as ph
+
+    positional = ph.build_positional_postings(_docs(spark, sf_dir))
+    qs = spark.createDataFrame(PHRASES, "query_id int, query string")
+    return ph.phrase_search(qs, positional)
+
+
+def _phrase_sql() -> str:
+    joins = []
+    for pid, p in PHRASES:
+        terms = p.split()
+        conds = [f"t0.token = '{terms[0]}'"]
+        tabs = ["tokpos t0"]
+        for i, t in enumerate(terms[1:], start=1):
+            tabs.append(f"tokpos t{i}")
+            conds.append(
+                f"t{i}.doc_id = t0.doc_id AND t{i}.pos = t0.pos + {i} "
+                f"AND t{i}.token = '{t}'"
+            )
+        joins.append(
+            f"SELECT {pid} AS phrase_id, t0.doc_id, count(*)::INT AS n_matches "
+            f"FROM {', '.join(tabs)} WHERE {' AND '.join(conds)} "
+            "GROUP BY 2"
+        )
+    return f"WITH {_TOKPOS0_CTE} " + " UNION ALL ".join(joins)
+
+
 def q_reference_golden_metrics(spark, sf_dir):
     """Rows-only: reproduce the reference's committed evaluation table
     (13 tools, P/R/F1 to 4 decimals) from its own data files — exactness
@@ -619,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_stats": q_bootstrap_stats,
         "token_count_bpe": q_token_count_bpe,
         "ann_ivf": q_ann_ivf,
+        "phrase_search": q_phrase_search,
         "reference_golden_metrics": q_reference_golden_metrics,
     }
 
@@ -968,6 +1004,7 @@ SELECT doc_id,
 FROM documents
 """,
         "ann_ivf": _ann_ivf_sql(),
+        "phrase_search": _phrase_sql(),
         "term_dictionary": f"""
 WITH {_TOKS_CTE}, {_DT_CTE}
 SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM dt GROUP BY 1

@@ -1,0 +1,67 @@
+"""Positional postings + phrase search: decode roundtrip, brute-force
+equivalence, repeated-term phrases."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from cer_for_mti_spark.operators import phrase as ph
+
+
+@pytest.fixture(scope="module")
+def positional(spark, webtext):
+    return ph.build_positional_postings(webtext, mode="simple").cache()
+
+
+def _brute_phrase(docs_rows, terms):
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    out = {}
+    for r in docs_rows:
+        toks = [t for t in ws.split(r.text) if t]
+        n = 0
+        for i in range(len(toks) - len(terms) + 1):
+            if toks[i:i + len(terms)] == terms:
+                n += 1
+        if n:
+            out[r.doc_id] = n
+    return out
+
+
+@pytest.mark.parametrize("query", ["the of", "of the and", "the the"])
+def test_phrase_vs_brute_force(spark, webtext, positional, query):
+    q = spark.createDataFrame([(0, query)], "query_id int, query string")
+    got = {
+        r.doc_id: r.n_matches
+        for r in ph.phrase_search(q, positional).collect()
+    }
+    want = _brute_phrase(webtext.select("doc_id", "text").collect(),
+                         query.split())
+    assert got == want
+
+
+def test_positional_decode_roundtrip(spark, webtext, positional):
+    """Decoded positions of a few terms equal posexplode ground truth."""
+    rows = positional.orderBy("term").limit(20).collect()
+    truth = (
+        webtext.select(
+            "doc_id",
+            F.posexplode(F.filter(F.split("text", r"\s+"),
+                                  lambda t: t != "")).alias("pos", "term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("ps"))
+    )
+    terms = [r["term"] for r in rows]
+    tmap = {}
+    for r in truth.filter(F.col("term").isin(terms)).collect():
+        tmap.setdefault(r["term"], {})[r["doc_id"]] = list(r["ps"])
+    for r in rows:
+        ids, tfs, starts, ends, pos = ph._decode_positional(r)
+        got = {
+            int(ids[k]): [int(p) for p in pos[starts[k]:ends[k]]]
+            for k in range(len(ids))
+        }
+        assert got == tmap[r["term"]], r["term"]
