@@ -563,8 +563,8 @@ def q_ann_ivf(spark, sf_dir):
     return similarity.ivf_topk(emb, qs, k=5, n_centroids=16, nprobe=4)
 
 
-PHRASES = [(0, "the of"), (1, "of the and"), (2, "the the"),
-           (3, "key order sort")]
+PHRASES = [(0, "table scan"), (1, "hash join"), (2, "the the"),
+           (3, "key order sort"), (4, "absent nonexistent")]
 
 
 def q_phrase_search(spark, sf_dir):
