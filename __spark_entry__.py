@@ -293,6 +293,36 @@ def q_multimodal_features(spark, sf_dir):
     return feats.select("media_id", "media_type", "n_bytes")
 
 
+def q_doc_terms_chem(spark, sf_dir):
+    """The chem analyzer proven against an independent engine: edge-punct
+    strip + NFC + selective case-folding (fold only all-alpha single-case
+    tokens; preserve mixed-case chemical symbols) reproduced in DuckDB via
+    nfc_normalize + regex."""
+    return ib.build_doc_terms(_docs(spark, sf_dir), mode="chem")
+
+
+def _doc_terms_chem_sql() -> str:
+    from cer_for_mti_spark.functions.analyze import _EDGE_PUNCT
+
+    esc = "".join("\\" + c if c in "]\\^-" else c for c in _EDGE_PUNCT)
+    cls = f"[{esc}]".replace("'", "''")
+    return f"""
+WITH raw AS (SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x <> '')) AS tok
+             FROM documents),
+stripped AS (SELECT doc_id,
+             nfc_normalize(regexp_replace(regexp_replace(tok,
+                 '^{cls}+', ''), '{cls}+$', '')) AS t
+             FROM raw),
+normed AS (SELECT doc_id,
+           CASE WHEN regexp_matches(t, '^([a-z]+|[A-Z][a-z]*)$')
+                THEN lower(t) ELSE t END AS term
+           FROM stripped WHERE t <> '')
+SELECT doc_id, term, count(*)::INT AS tf FROM normed GROUP BY 1, 2
+"""
+
+
 def q_doc_terms_narrow(spark, sf_dir):
     """Same relation as doc_terms, produced by the no-shuffle scale path
     (per-doc counting inside the doc row); shares the doc_terms oracle."""
@@ -644,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_stats": q_event_stats,
         "multimodal_features": q_multimodal_features,
         "doc_terms_narrow": q_doc_terms_narrow,
+        "doc_terms_chem": q_doc_terms_chem,
         "brat_parse": q_brat_parse,
         "pubtator_parse": q_pubtator_parse,
         "bio_decode": q_bio_decode,
@@ -965,6 +996,7 @@ FROM lineitem GROUP BY 1 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
 """,
         "doc_terms": f"WITH {_TOKS_CTE}, {_DT_CTE} SELECT * FROM dt",
         "doc_terms_narrow": f"WITH {_TOKS_CTE}, {_DT_CTE} SELECT * FROM dt",
+        "doc_terms_chem": _doc_terms_chem_sql(),
         "brat_parse": _brat_parse_sql(),
         "pubtator_parse": _pubtator_parse_sql(),
         "bio_decode": _bio_decode_sql(),
