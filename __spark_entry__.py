@@ -628,6 +628,28 @@ def _phrase_sql() -> str:
     return f"WITH {_TOKPOS0_CTE} " + " UNION ALL ".join(joins)
 
 
+def q_asof_join(spark, sf_dir):
+    """Point-in-time as-of join: every event picks up the most recent
+    prior (or simultaneous) state row of its user. Right side deduped per
+    (user, ts) so tie semantics can't differ between engines."""
+    from cer_for_mti_spark.operators import temporal
+
+    ev = _read(spark, sf_dir, "events")
+    h = md5_60(F.col("event_id").cast("string"))
+    state = (
+        ev.filter(F.pmod(h, F.lit(5)) == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("state_value"))
+    )
+    left = ev.select("event_id", "user_id", "ts")
+    joined = temporal.asof_join(left, state, on="user_id", ts="ts",
+                                right_cols=["state_value"])
+    return joined.select(
+        "event_id", "user_id", "ts",
+        F.round("state_value_r", 4).alias("last_state"),
+    )
+
+
 def q_reference_golden_metrics(spark, sf_dir):
     """Rows-only: reproduce the reference's committed evaluation table
     (13 tools, P/R/F1 to 4 decimals) from its own data files — exactness
@@ -686,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         "ann_ivf": q_ann_ivf,
         "phrase_search": q_phrase_search,
+        "asof_join": q_asof_join,
         "reference_golden_metrics": q_reference_golden_metrics,
     }
 
@@ -1037,6 +1060,13 @@ FROM documents
 """,
         "ann_ivf": _ann_ivf_sql(),
         "phrase_search": _phrase_sql(),
+        "asof_join": f"""
+WITH r AS (SELECT user_id, ts, max(value) AS state_value FROM events
+           WHERE {md5_60_sql("event_id::VARCHAR")} % 5 = 0 GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, e.ts, round(r.state_value, 4) AS last_state
+FROM events e ASOF LEFT JOIN r
+  ON e.user_id = r.user_id AND e.ts >= r.ts
+""",
         "term_dictionary": f"""
 WITH {_TOKS_CTE}, {_DT_CTE}
 SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM dt GROUP BY 1
