@@ -261,7 +261,8 @@ def bm25_wand(queries: DataFrame, postings: DataFrame, n_docs: int,
 
 
 def read_postings_pruned(spark, index_path: str, query_terms: list[str],
-                         num_shards: int = 32) -> DataFrame:
+                         num_shards: int = 32,
+                         base_df: DataFrame | None = None) -> DataFrame:
     """Scan-pruned postings read for a query batch: the term list and its
     shard ids are known before the scan (shard = md5_60(term) % S is a
     pure function of the term), so BOTH predicates are literal filters —
@@ -275,8 +276,13 @@ def read_postings_pruned(spark, index_path: str, query_terms: list[str],
     from cer_for_mti_spark.functions.hashing import md5_60_py
 
     shards = sorted({md5_60_py(t) % num_shards for t in query_terms})
-    df = spark.read.option("basePath", f"{index_path}/postings").parquet(
-        f"{index_path}/postings"
+    # pass base_df (opened once) for repeated queries: partition pruning
+    # happens at planning time from the cached file index, so reusing the
+    # DataFrame keeps the pruning but skips per-query directory listing
+    df = base_df if base_df is not None else (
+        spark.read.option("basePath", f"{index_path}/postings").parquet(
+            f"{index_path}/postings"
+        )
     )
     return df.filter(
         F.col("shard").isin(shards) & F.col("term").isin(list(query_terms))
@@ -286,7 +292,8 @@ def read_postings_pruned(spark, index_path: str, query_terms: list[str],
 def bm25_wand_from_index(spark, index_path: str, queries: DataFrame,
                          n_docs: int, avgdl: float, k: int = 10,
                          mode: str = "simple", num_shards: int = 32,
-                         scorer: str = "auto") -> DataFrame:
+                         scorer: str = "auto",
+                         base_df: DataFrame | None = None) -> DataFrame:
     """End-to-end query path over a written index: analyze the query batch
     driver-side (tiny), prune the postings scan by shard + term, then
     score. Rank-identical to bm25_wand over the full postings relation."""
@@ -303,7 +310,8 @@ def bm25_wand_from_index(spark, index_path: str, queries: DataFrame,
             terms.update(chem_tokenize_str(r["query"] or ""))
     if not terms:
         return spark.createDataFrame([], TOPK_SCHEMA)
-    pruned = read_postings_pruned(spark, index_path, sorted(terms), num_shards)
+    pruned = read_postings_pruned(spark, index_path, sorted(terms),
+                                  num_shards, base_df=base_df)
     return bm25_wand(queries, pruned, n_docs, avgdl, k=k, mode=mode,
                      scorer=scorer)
 
