@@ -217,6 +217,20 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup over a doubled corpus (guaranteed exact
+    duplicates at cosine 1.0): sign-LSH banded candidates (equi-join on
+    (table, bucket) — no cross join), exact-cosine verify on candidates.
+    The hyperplanes are seeded, so the oracle replays them inline."""
+    emb = _read(spark, sf_dir, "embeddings")
+    dup = emb.select("vec_id", "embedding").union(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    return dedup.embedding_near_dup(
+        dup, threshold=0.95, dim=64, n_planes=8, seed=42, n_tables=2
+    )
+
+
 def q_quality(spark, sf_dir):
     return textstats.quality_score(_docs(spark, sf_dir)).select(
         "doc_id", "n_tokens", "mean_token_len", "stopword_ratio",
@@ -461,6 +475,40 @@ def q_wordpiece_merge(spark, sf_dir):
     )
 
 
+def q_cdi_tsv(spark, sf_dir):
+    """S8: CDI TSV scan (pmid\\ttitle\\tabstract -> concat,
+    BERT_annotator.py:232-252) over lines synthesized from documents."""
+    docs = _docs(spark, sf_dir)
+    safe_text = F.regexp_replace("text", "\t", " ")
+    lines = docs.select(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit("\t"),
+            F.concat(F.lit("T"), F.col("doc_id").cast("string")),
+            F.lit("\t"), safe_text,
+        ).alias("value")
+    )
+    return formats.parse_cdi_tsv(lines)
+
+
+def q_sentencepiece_merge(spark, sf_dir):
+    """W3: SentencePiece subtoken merge (XLNet_annotator.py:846-859) —
+    tokens lacking the ▁ prefix glue to the previous word; ▁ stripped."""
+    toks = _bio_tokens(spark, sf_dir)
+    h = md5_60(F.concat(F.col("pmid"), F.lit(":"), F.col("pos").cast("string")))
+    is_cont = (F.pmod(h, F.lit(3)) == 0) & (F.col("pos") > 0)
+    piece = F.when(is_cont, F.col("token")).otherwise(
+        F.concat(F.lit("▁"), F.col("token"))
+    )
+    label = (
+        F.when(F.pmod(h, F.lit(5)) == 0, F.lit("B-chem"))
+        .when(F.pmod(h, F.lit(5)) == 1, F.lit("I-chem"))
+        .otherwise(F.lit("O"))
+    )
+    return formats.merge_sentencepiece(
+        toks.select("pmid", "pos", piece.alias("token"), label.alias("label"))
+    )
+
+
 def q_entity_class_counts(spark, sf_dir):
     """A2: per-class entity counts + distinct-term variant
     (count_entities / count_unique_entities)."""
@@ -687,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
+        "embedding_near_dup": q_embedding_near_dup,
         "quality": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -701,6 +750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pubtator_parse": q_pubtator_parse,
         "bio_decode": q_bio_decode,
         "wordpiece_merge": q_wordpiece_merge,
+        "sentencepiece_merge": q_sentencepiece_merge,
+        "cdi_tsv": q_cdi_tsv,
         "entity_class_counts": q_entity_class_counts,
         "token_span_join": q_token_span_join,
         "bootstrap_prf": q_bootstrap_prf,
@@ -897,6 +948,26 @@ FROM ents WHERE first_label LIKE 'B%'
 """
 
 
+def _sentencepiece_merge_sql() -> str:
+    return f"""
+WITH {_TOKPOS0_CTE},
+lab AS (SELECT doc_id, pos,
+        CASE WHEN {_HP_SQL} % 3 = 0 AND pos > 0 THEN token
+             ELSE '▁' || token END AS token,
+        CASE WHEN {_HP_SQL} % 5 = 0 THEN 'B-chem'
+             WHEN {_HP_SQL} % 5 = 1 THEN 'I-chem' ELSE 'O' END AS label
+        FROM tokpos),
+segd AS (SELECT *, sum(CASE WHEN starts_with(token, '▁') THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS seg
+         FROM lab)
+SELECT doc_id::VARCHAR AS pmid, min(pos)::INT AS pos,
+       string_agg(regexp_replace(token, '^▁', ''), '' ORDER BY pos) AS token,
+       arg_min(label, pos) AS label
+FROM segd GROUP BY doc_id, seg
+"""
+
+
 def _wordpiece_merge_sql() -> str:
     return f"""
 WITH {_TOKPOS0_CTE},
@@ -962,6 +1033,41 @@ FROM resampled
 """
 
 
+def _embedding_near_dup_sql() -> str:
+    """Replays the seeded sign-LSH bucketing bit-for-bit: the hyperplanes
+    (numpy default_rng(seed+t).standard_normal) are inlined as literal
+    double arrays; bucket = sum over planes of (dot > 0) << j."""
+    from cer_for_mti_spark.operators.similarity import _hyperplanes
+
+    bucket_exprs = []
+    for t in range(2):
+        planes = _hyperplanes(64, 8, 42 + t)
+        terms = []
+        for j in range(8):
+            arr = ", ".join(repr(float(x)) for x in planes[j])
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, [{arr}]) > 0 "
+                f"THEN {1 << j} ELSE 0 END)"
+            )
+        bucket_exprs.append("(" + " + ".join(terms) + f")::BIGINT AS b{t}")
+    band_union = " UNION ALL ".join(
+        f"SELECT a.id AS id_a, b.id AS id_b FROM bk a JOIN bk b "
+        f"ON a.b{t} = b.b{t} AND a.id < b.id"
+        for t in range(2)
+    )
+    return f"""
+WITH dup AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+             UNION ALL
+             SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings),
+bk AS (SELECT id, v, {', '.join(bucket_exprs)} FROM dup),
+cand AS (SELECT DISTINCT id_a, id_b FROM ({band_union})),
+scored AS (SELECT c.id_a, c.id_b,
+                  round(list_cosine_similarity(x.v, y.v), 6) AS cosine
+           FROM cand c JOIN dup x ON c.id_a = x.id JOIN dup y ON c.id_b = y.id)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.95
+"""
+
+
 def _ann_ivf_sql() -> str:
     return """
 WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
@@ -1024,6 +1130,12 @@ FROM lineitem GROUP BY 1 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
         "pubtator_parse": _pubtator_parse_sql(),
         "bio_decode": _bio_decode_sql(),
         "wordpiece_merge": _wordpiece_merge_sql(),
+        "sentencepiece_merge": _sentencepiece_merge_sql(),
+        "cdi_tsv": """
+SELECT doc_id::VARCHAR AS pmid,
+       'T' || doc_id::VARCHAR || ' ' || replace(text, chr(9), ' ') AS text
+FROM documents
+""",
         "entity_class_counts": f"""
 WITH {_GOLD_CTE},
 sel AS (SELECT doc_id, term, {_H_SQL} AS h FROM gold WHERE {_H_SQL} % 5 = 0)
@@ -1142,6 +1254,7 @@ FROM dup GROUP BY 1 HAVING count(*) > 1
         "minhash_lsh": _minhash_sql(),
         "simhash": _simhash_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
+        "embedding_near_dup": _embedding_near_dup_sql(),
         "quality": f"""
 WITH t AS (SELECT doc_id, text,
                   list_filter({_T}, x -> x <> '') AS toks FROM documents),

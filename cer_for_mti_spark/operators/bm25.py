@@ -297,7 +297,7 @@ def bm25_wand_from_index(spark, index_path: str, queries: DataFrame,
     """End-to-end query path over a written index: analyze the query batch
     driver-side (tiny), prune the postings scan by shard + term, then
     score. Rank-identical to bm25_wand over the full postings relation."""
-    from cer_for_mti_spark.functions.analyze import chem_tokenize_str
+    from cer_for_mti_spark.functions.analyze import chem_tokenize_str, greek_variants
     from cer_for_mti_spark.operators.index_build import _JAVA_WS_RE
 
     q_rows = queries.collect()  # query batch is small by definition
@@ -307,7 +307,13 @@ def bm25_wand_from_index(spark, index_path: str, queries: DataFrame,
             # same split semantics as the JVM simple tokenizer (ASCII \s)
             terms.update(t for t in _JAVA_WS_RE.split(r["query"] or "") if t)
         else:
-            terms.update(chem_tokenize_str(r["query"] or ""))
+            # mirror the index tokenizer exactly: chem+greek also indexes
+            # the greek-canonical variants, so the scan filter must include
+            # them or variant-term postings are pruned to zero score
+            ts = chem_tokenize_str(r["query"] or "")
+            if mode == "chem+greek":
+                ts = ts + greek_variants(ts)
+            terms.update(ts)
     if not terms:
         return spark.createDataFrame([], TOPK_SCHEMA)
     pruned = read_postings_pruned(spark, index_path, sorted(terms),

@@ -2,9 +2,9 @@
 exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
 
 Design for 10^12 docs: never a raw cross join. Every near-dup variant is
-candidate-generation (an equi-join on a bucket key: rare shingle, LSH
-band, SimHash band, norm bucket) followed by exact verification on the
-candidate pairs only. All hashes are the portable md5-based family
+candidate-generation (an equi-join on a bucket key: rare shingle, MinHash
+LSH band, SimHash band, sign-LSH band) followed by exact verification on
+the candidate pairs only. All hashes are the portable md5-based family
 (functions/hashing.py) so DuckDB oracles replay them bit-for-bit.
 """
 
@@ -81,9 +81,20 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", k: int = 3,
         .select("doc_a", "doc_b")
         .distinct()
     )
+    # verification: semi-join the shingle relation down to CANDIDATE docs
+    # FIRST (two cheap semi-joins), then self-join on shingle. Without the
+    # pre-prune, a boilerplate shingle with df=10^6 contributes 10^12 join
+    # rows before the pair semi-join could drop them; after it, the
+    # self-join only ever sees docs that share a rare shingle.
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_docs, "doc_id", "left_semi")
     inter = (
-        sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        sh_c.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(sh_c.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
         .join(cand, ["doc_a", "doc_b"], "left_semi")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -239,13 +250,20 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
 
 def embedding_near_dup(emb: DataFrame, id_col: str = "vec_id",
                        vec_col: str = "embedding",
-                       threshold: float = 0.95,
-                       norm_buckets: int = 0) -> DataFrame:
-    """Embedding-cosine near-dup pairs. Brute verification is pruned by a
-    self-join bounded to id_a < id_b; for large corpora pass
-    norm_buckets>0 to pre-bucket by vector norm (cos>=t near-dups have
-    close norms only after normalization — here bucketing is on the
-    leading LSH sign bits instead; see similarity.lsh_buckets)."""
+                       threshold: float = 0.95, dim: int = 64,
+                       n_planes: int = 8, seed: int = 42,
+                       n_tables: int = 2) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed — NEVER all-pairs.
+
+    Candidate generation: n_tables independent sign-random-projection
+    tables (seeded hyperplanes shared with similarity.lsh_bucket_udf);
+    a pair is a candidate when it shares a bucket in ANY table — the
+    standard sign-LSH recall amplifier (P[same bucket] = (1 - theta/pi)^b
+    per table; near-dups at cos >= 0.95 nearly always collide). The join
+    key is (table, bucket): a plain equi-join Catalyst shuffle-hashes; no
+    CartesianProduct / BroadcastNestedLoopJoin node in the plan (asserted
+    in tests/test_dedup.py). Verification computes exact cosine on the
+    candidate pairs only."""
     v = emb.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -253,18 +271,30 @@ def embedding_near_dup(emb: DataFrame, id_col: str = "vec_id",
         "norm",
         F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)),
     )
-    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
-                 F.col("norm").alias("na"))
-    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
-                 F.col("norm").alias("nb"))
+    from cer_for_mti_spark.operators.similarity import lsh_bucket_udf
+
+    tagged = None
+    for t in range(n_tables):
+        bucket = lsh_bucket_udf(dim, n_planes, seed + t)
+        bt = v.withColumn("bucket", bucket(F.col("v"))).withColumn(
+            "tbl", F.lit(t)
+        )
+        tagged = bt if tagged is None else tagged.union(bt)
+    a = tagged.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                      F.col("norm").alias("na"), "tbl", "bucket")
+    b = tagged.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                      F.col("norm").alias("nb"), "tbl", "bucket")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0),
         lambda acc, x: acc + x,
     )
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
+        cand.withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -55,12 +55,22 @@ def except_sets(a: DataFrame, b: DataFrame) -> DataFrame:
 def tp_fp_fn(gold: DataFrame, pred: DataFrame) -> DataFrame:
     """J1+U3+U4+A1: one-row (tp, fp, fn) micro counts. Missing docs on the
     pred side behave as empty sets automatically (adjust_bert_preds,
-    run_tool_evaluation.py:766-773, is the reference's left-outer fill)."""
-    tp = intersect_sets(gold, pred).count()
-    fp = except_sets(pred, gold).count()
-    fn = except_sets(gold, pred).count()
-    spark = gold.sparkSession
-    return spark.createDataFrame([(tp, fp, fn)], "tp long, fp long, fn long")
+    run_tool_evaluation.py:766-773, is the reference's left-outer fill).
+
+    One full-outer join on (doc_id, term) + conditional sums — a single
+    Spark job (each input is scanned once), not three separate counts."""
+    g = distinct_terms(gold).withColumn("_g", F.lit(1))
+    p = distinct_terms(pred).withColumn("_p", F.lit(1))
+    j = g.join(p, ["doc_id", "term"], "full_outer")
+    def _n(cond):
+        # coalesce: empty inputs aggregate to (0,0,0), not NULLs
+        return F.coalesce(F.sum(cond.cast("int")), F.lit(0)).cast("long")
+
+    return j.agg(
+        _n(F.col("_g").isNotNull() & F.col("_p").isNotNull()).alias("tp"),
+        _n(F.col("_g").isNull()).alias("fp"),
+        _n(F.col("_p").isNull()).alias("fn"),
+    )
 
 
 def prf_cols(df: DataFrame, beta: float = BETA) -> DataFrame:
@@ -110,24 +120,94 @@ def levenshtein_matches(pred: DataFrame, gold: DataFrame,
     return joined.select("doc_id", F.col("p_term").alias("term")).dropDuplicates()
 
 
+def _count_row(tp_df: DataFrame, mg_df: DataFrame, pred: DataFrame,
+               gold: DataFrame) -> DataFrame:
+    """(tp, fp, fn) as ONE lazy row: tp = |matched pred|, fp = |pred| - tp,
+    fn = |gold| - |matched gold|. Four 1-row aggregates cross-joined —
+    collected in a single action instead of four."""
+    tp = tp_df.agg(F.count(F.lit(1)).alias("tp"))
+    mg = mg_df.agg(F.count(F.lit(1)).alias("mg"))
+    np_ = pred.agg(F.count(F.lit(1)).alias("np"))
+    ng = gold.agg(F.count(F.lit(1)).alias("ng"))
+    return (
+        tp.crossJoin(np_).crossJoin(mg).crossJoin(ng)
+        .select(
+            F.col("tp"),
+            (F.col("np") - F.col("tp")).alias("fp"),
+            (F.col("ng") - F.col("mg")).alias("fn"),
+        )
+    )
+
+
 def compare_annotations_levenshtein(gold: DataFrame, pred: DataFrame,
                                     stop_words: list[str] | None = None,
                                     max_norm: float = 1.0 / 3.0) -> DataFrame:
     """Relaxed-match micro P/R/F1: TP = preds fuzzily matching a gold term
     in the same doc (FP pass, :522-537); FN = gold terms with no fuzzy pred
-    match (FN pass, :541-551)."""
+    match (FN pass, :541-551). Lazy single-row result (one job on collect)."""
     if stop_words:
         gold = gold.filter(~F.col("term").isin(stop_words))
         pred = pred.filter(~F.col("term").isin(stop_words))
     matched_pred = levenshtein_matches(pred, gold, max_norm)
     matched_gold = levenshtein_matches(gold, pred, max_norm)
-    tp = matched_pred.count()
-    fp = distinct_terms(pred).count() - tp
-    fn = distinct_terms(gold).count() - matched_gold.count()
-    spark = gold.sparkSession
-    return prf_cols(
-        spark.createDataFrame([(tp, fp, fn)], "tp long, fp long, fn long")
+    return prf_cols(_count_row(matched_pred, matched_gold,
+                               distinct_terms(pred), distinct_terms(gold)))
+
+
+def compare_annotations_levenshtein_ref(gold: DataFrame, pred: DataFrame,
+                                        stop_words: list[str] | None = None,
+                                        max_norm: float = 1.0 / 3.0) -> DataFrame:
+    """The reference's `-l` mode EXACTLY (_calculate_levenshtein,
+    run_tool_evaluation.py:504-552), as set-translated joins:
+
+    - TP pass (:522-537): pred p matches iff some gold g in the same doc
+      has p == g, OR lev(p,g)/len(p) < max_norm AND g NOT itself predicted
+      in that doc (no relaxed credit when the gold term is already an
+      exact prediction — the Sox1/Sox2 guard).
+    - FN pass (:541-551): gold g is found iff some pred p has p == g, OR
+      lev(g,p)/len(p) < max_norm (normalized by len(PRED) again) AND p not
+      itself a gold term of that doc.
+
+    The reference's first-match `break` is order-dependent only in which
+    match it logs, not whether one exists — set semantics are identical.
+    Reproduces results_tool_evaluation_leven.txt to 4 decimals
+    (tests/test_reference_parity.py)."""
+    if stop_words:
+        gold = gold.filter(~F.col("term").isin(stop_words))
+        pred = pred.filter(~F.col("term").isin(stop_words))
+    g = distinct_terms(gold).withColumnRenamed("term", "g_term")
+    p = distinct_terms(pred).withColumnRenamed("term", "p_term")
+    # membership flags: is this gold term itself predicted in the doc /
+    # is this pred term itself a gold term of the doc
+    g_flag = g.join(
+        p.select("doc_id", F.col("p_term").alias("g_term"))
+        .withColumn("_in_pred", F.lit(True)),
+        ["doc_id", "g_term"], "left",
+    ).withColumn("_in_pred", F.coalesce("_in_pred", F.lit(False)))
+    p_flag = p.join(
+        g.select("doc_id", F.col("g_term").alias("p_term"))
+        .withColumn("_in_gold", F.lit(True)),
+        ["doc_id", "p_term"], "left",
+    ).withColumn("_in_gold", F.coalesce("_in_gold", F.lit(False)))
+
+    norm_lev = F.levenshtein("p_term", "g_term") / F.length("p_term")
+    matched_pred = (
+        p.join(g_flag, "doc_id")
+        .filter(
+            (F.col("p_term") == F.col("g_term"))
+            | ((norm_lev < max_norm) & ~F.col("_in_pred"))
+        )
+        .select("doc_id", "p_term").dropDuplicates()
     )
+    matched_gold = (
+        g.join(p_flag, "doc_id")
+        .filter(
+            (F.col("p_term") == F.col("g_term"))
+            | ((norm_lev < max_norm) & ~F.col("_in_gold"))
+        )
+        .select("doc_id", "g_term").dropDuplicates()
+    )
+    return prf_cols(_count_row(matched_pred, matched_gold, p, g))
 
 
 def nested_spans(spans: DataFrame) -> DataFrame:
@@ -190,7 +270,16 @@ def bootstrap_prf(gold: DataFrame, pred: DataFrame, n_iter: int = 1000,
     (reference: random.choices seed 13, run_tool_evaluation.py:915-919) and
     joined against the annotation relations — the join DUPLICATES per-doc
     counts by multiplicity, reproducing resampling-with-replacement without
-    materializing each resample. Returns mean/stddev of P, R, F1."""
+    materializing each resample. Returns mean/stddev of P, R, F1 plus the
+    reference's percentile-bootstrap quantiles q=.34/.68
+    (run_tool_evaluation.py:933-944 — np.quantile linear interpolation,
+    matched by Spark's exact F.percentile).
+
+    Scale note: the seeded-numpy resample keys are built driver-side
+    (n_iter x n_docs tuples) for RNG parity with the reference's
+    random.choices(seed 13); the hash-resample twin
+    (__spark_entry__.q_bootstrap_prf) is the fully distributed shape and
+    the one to use on large gold sets."""
     if stop_words:
         gold = gold.filter(~F.col("term").isin(stop_words))
         pred = pred.filter(~F.col("term").isin(stop_words))
@@ -230,6 +319,10 @@ def bootstrap_prf(gold: DataFrame, pred: DataFrame, n_iter: int = 1000,
         )
     )
     metrics = prf_cols(resampled)
+
+    def _q(col, q):
+        return F.round(F.percentile(F.col(col), F.lit(q)), 4)
+
     return metrics.agg(
         F.round(F.avg("precision"), 4).alias("p_mean"),
         F.round(F.stddev_samp("precision"), 4).alias("p_std"),
@@ -237,4 +330,10 @@ def bootstrap_prf(gold: DataFrame, pred: DataFrame, n_iter: int = 1000,
         F.round(F.stddev_samp("recall"), 4).alias("r_std"),
         F.round(F.avg("fscore"), 4).alias("f_mean"),
         F.round(F.stddev_samp("fscore"), 4).alias("f_std"),
+        _q("precision", 0.34).alias("p_q34"),
+        _q("precision", 0.68).alias("p_q68"),
+        _q("recall", 0.34).alias("r_q34"),
+        _q("recall", 0.68).alias("r_q68"),
+        _q("fscore", 0.34).alias("f_q34"),
+        _q("fscore", 0.68).alias("f_q68"),
     )

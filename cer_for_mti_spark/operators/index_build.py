@@ -208,6 +208,14 @@ def _impact(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
     return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl))
 
 
+def _range_bucket(doc_id_col: str, width: int):
+    """Exact integer floor(doc_id / width) as a Column (see build_postings)."""
+    w = int(width)
+    return F.expr(
+        f"({doc_id_col} - pmod({doc_id_col}, {w}L)) div {w}L"
+    ).cast("long")
+
+
 def salt_for(n_docs: int) -> int:
     """Salt bucket count scaling with corpus size so the hottest key
     (a term in every doc) stays ~<= 4M entries per bucket."""
@@ -390,9 +398,11 @@ def build_postings(doc_terms: DataFrame, doc_stats: DataFrame, avgdl: float,
         )
     # doc_id // width: contiguous ranges — runs concat in sorted order.
     # ids beyond n_docs (e.g. synthetic offsets) just make extra buckets.
-    salted = with_dl.withColumn(
-        "bucket", (F.col("doc_id") / F.lit(width)).cast("long")
-    )
+    # Integer floor-div (pmod is non-negative, so the subtraction is an
+    # exact multiple of width): double division would round above 2^53
+    # and truncate-toward-zero for negative ids, landing docs in the
+    # wrong bucket and breaking the contiguous-run merge invariant.
+    salted = with_dl.withColumn("bucket", _range_bucket("doc_id", width))
     encode_run = _make_encode_run_udf(avgdl)
     runs = (
         salted.groupBy("term", "bucket")

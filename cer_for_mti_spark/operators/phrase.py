@@ -126,7 +126,19 @@ def build_positional_postings(docs: DataFrame, mode: str = "simple",
     def merge(runs_s: pd.Series) -> pd.DataFrame:
         out = {"df": [], "doc_ids": [], "tfs": [], "positions": []}
         for runs_l in runs_s:
-            rs = sorted(runs_l, key=lambda r: r["first_id"])
+            rs = sorted(runs_l, key=lambda r: (r["first_id"], r["last_id"]))
+            if any(r["first_id"] <= prev["last_id"]
+                   for prev, r in zip(rs, rs[1:])):
+                # overlapping doc-id ranges (repartitioned input / SPIMI
+                # memory flush on unsorted rows): the byte-concat boundary
+                # gap would go negative and wrap as uint64 — fall back to
+                # decode + doc-sort + re-encode, like merge_encoded_runs
+                df_, d, t, p = _merge_positional_overlap(rs)
+                out["df"].append(df_)
+                out["doc_ids"].append(d)
+                out["tfs"].append(t)
+                out["positions"].append(p)
+                continue
             ids_parts = [bytes(rs[0]["doc_ids"])]
             for prev, r in zip(rs, rs[1:]):
                 b = bytes(r["doc_ids"])
@@ -149,6 +161,37 @@ def build_positional_postings(docs: DataFrame, mode: str = "simple",
     )
     return merged.select("term", merge("runs").alias("p")).select(
         "term", "p.df", "p.doc_ids", "p.tfs", "p.positions"
+    )
+
+
+def _merge_positional_overlap(rs: list) -> tuple[int, bytes, bytes, bytes]:
+    """Slow-path merge for overlapping positional runs: decode every run,
+    sort doc groups globally by doc_id, re-encode the three streams.
+    Doc ids are unique across runs (a doc's tokens live in one input row),
+    so a stable group sort is a full merge."""
+    all_ids, all_tfs, pos_slices = [], [], []
+    for r in rs:
+        ids, tfs, starts, ends, pos = _decode_positional(r)
+        all_ids.append(ids)
+        all_tfs.append(tfs)
+        pos_slices.extend(pos[s:e] for s, e in zip(starts, ends))
+    ids = np.concatenate(all_ids)
+    tfs = np.concatenate(all_tfs)
+    order = np.argsort(ids, kind="stable")
+    ids, tfs = ids[order], tfs[order]
+    pos = np.concatenate([pos_slices[g] for g in order]) if len(order) else \
+        np.array([], dtype=np.int64)
+    # re-delta per doc group: group starts absolute, rest in-group deltas
+    gaps = pos.copy()
+    if len(pos) > 1:
+        gaps[1:] = pos[1:] - pos[:-1]
+    starts = np.cumsum(tfs) - tfs
+    gaps[starts] = pos[starts]
+    return (
+        int(len(ids)),
+        delta_encode(ids),
+        varint_encode(tfs.astype(np.uint64)),
+        varint_encode(gaps.astype(np.uint64)),
     )
 
 

@@ -145,6 +145,52 @@ def parse_bio_tsv(lines: DataFrame) -> DataFrame:
     )
 
 
+def parse_cdi_tsv(lines: DataFrame) -> DataFrame:
+    """S8: CDI task TSV ``pmid\\ttitle\\tabstract`` -> (pmid, text) with
+    text = title + ' ' + abstract (_read_CDI_data,
+    BERT_annotator.py:232-252)."""
+    parts = F.split("value", "\t")
+    return lines.filter(F.size(parts) >= 3).select(
+        F.element_at(parts, 1).alias("pmid"),
+        F.concat_ws(
+            " ", F.element_at(parts, 2), F.element_at(parts, 3)
+        ).alias("text"),
+    )
+
+
+def merge_sentencepiece(tokens: DataFrame) -> DataFrame:
+    """W3: SentencePiece subtoken merge — a token starting with the
+    SPIECE_UNDERLINE ``▁`` begins a new word; any other token appends to
+    the previous word; the ``▁`` is stripped from the output
+    (XLNet_annotator.py:846-859; offline variant convert_output.py:57-77).
+    Same running-segment trick as merge_wordpiece, keyed on the prefix
+    instead of the 'X' label. Leading continuation pieces before the first
+    ▁ token of a doc form their own segment (seg 0), mirroring the
+    reference's list-append semantics when decoded_tokens is primed by the
+    first row."""
+    w = Window.partitionBy("pmid").orderBy("pos")
+    seg = F.sum(
+        F.when(F.col("token").startswith("▁"), 1).otherwise(0)
+    ).over(w)
+    merged = (
+        tokens.withColumn("seg", seg)
+        .withColumn("piece", F.regexp_replace("token", r"^▁", ""))
+        .groupBy("pmid", "seg")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "piece"))),
+                    lambda s: s["piece"],
+                ),
+                "",
+            ).alias("token"),
+            F.min_by("label", "pos").alias("label"),
+            F.min("pos").alias("pos"),
+        )
+    )
+    return merged.select("pmid", "pos", "token", "label")
+
+
 def merge_wordpiece(tokens: DataFrame) -> DataFrame:
     """W2: WordPiece subtoken merge — label 'X' rows strip the '##' prefix
     and append to the previous token (BERT_annotator.py:667-694).

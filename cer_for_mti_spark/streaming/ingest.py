@@ -94,9 +94,26 @@ def sessionize_stream(events_stream: DataFrame, gap_seconds: int = 1800,
             val_all.extend(float(v) for v in pdf["value"])
         order = sorted(range(len(ts_all)), key=lambda i: ts_all[i])
         cur = list(state.get) if state.exists else None
+        early = None  # open session strictly BEFORE the carried state's
         for i in order:
             t, v = ts_all[i], val_all[i]
-            if cur is None:
+            if cur is not None and t < cur[0]:
+                # cross-batch late event older than the open session:
+                # within gap of its start -> extend the session backwards;
+                # a full gap before it -> it belongs to an earlier session
+                if cur[0] - t <= gap_seconds:
+                    cur[0] = t
+                else:
+                    if early is None:
+                        early = [t, t, 0, 0.0]
+                    elif t - early[1] > gap_seconds:
+                        rows.append(early)
+                        early = [t, t, 0, 0.0]
+                    early[1] = max(early[1], t)
+                    early[2] += 1
+                    early[3] += v
+                    continue
+            elif cur is None:
                 cur = [t, t, 0, 0.0]
             elif t - cur[1] > gap_seconds:
                 rows.append(cur)
@@ -104,6 +121,15 @@ def sessionize_stream(events_stream: DataFrame, gap_seconds: int = 1800,
             cur[1] = max(cur[1], t)
             cur[2] += 1
             cur[3] += v
+        if early is not None:
+            # events are sorted, so early ends before cur starts; merge if
+            # the late batch closed the gap, else emit it as its own session
+            if cur is not None and cur[0] - early[1] <= gap_seconds:
+                cur[0] = early[0]
+                cur[2] += early[2]
+                cur[3] += early[3]
+            else:
+                rows.append(early)
         if cur is not None:
             state.update(tuple(cur))
             state.setTimeoutTimestamp(cur[1] * 1000 + gap_seconds * 1000)

@@ -72,6 +72,38 @@ def test_embedding_near_dup(spark):
         (3, [0.0, 1.0, 0.0, 0.0]),       # orthogonal
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    pairs = {(r.id_a, r.id_b) for r in
-             dedup.embedding_near_dup(emb, threshold=0.95).collect()}
+    result = dedup.embedding_near_dup(emb, threshold=0.95, dim=4,
+                                      n_planes=6, n_tables=4)
+    pairs = {(r.id_a, r.id_b) for r in result.collect()}
     assert pairs == {(1, 2)}
+
+
+def test_embedding_near_dup_no_cross_join(spark):
+    """The near-dup plan must be a bucketed equi-join — at 10^12 docs an
+    all-pairs plan is fatal, so its physical nodes are banned outright."""
+    rows = [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    result = dedup.embedding_near_dup(emb, dim=4, n_planes=4, n_tables=2)
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_jaccard_boilerplate_heavy(spark):
+    """Hot boilerplate shingles (df >> max_shingle_df) must stay out of
+    BOTH candidate generation and the verification self-join: 60 docs
+    share a boilerplate sentence; only the one true near-dup pair with
+    shared rare shingles comes out."""
+    boiler = "subscribe to our newsletter for daily updates and offers"
+    rows = [(i, f"unique{i} token{i} word{i} extra{i} " + boiler)
+            for i in range(60)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta eta theta"),
+             (101, "alpha beta gamma delta epsilon zeta eta iota")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5,
+                                           max_shingle_df=5).collect()
+    }
+    assert set(pairs) == {(100, 101)}
+    assert pairs[(100, 101)] == round(5 / 7, 6)

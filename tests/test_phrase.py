@@ -65,3 +65,27 @@ def test_positional_decode_roundtrip(spark, webtext, positional):
             for k in range(len(ids))
         }
         assert got == tmap[r["term"]], r["term"]
+
+
+def test_positional_repartitioned_input(spark, webtext, positional):
+    """Input partitions that are NOT disjoint doc-id ranges (repartition)
+    produce overlapping positional runs: the merge must detect the overlap
+    and decode/re-encode instead of byte-concatenating (a negative
+    boundary gap would wrap to ~1.8e19 as uint64). Postings must be
+    byte-identical to the ordered build, and phrase results unchanged."""
+    pos_b = ph.build_positional_postings(webtext.repartition(7),
+                                         mode="simple")
+    a = {r["term"]: (r["df"], bytes(r["doc_ids"]), bytes(r["tfs"]),
+                     bytes(r["positions"]))
+         for r in positional.collect()}
+    b = {r["term"]: (r["df"], bytes(r["doc_ids"]), bytes(r["tfs"]),
+                     bytes(r["positions"]))
+         for r in pos_b.collect()}
+    assert a == b and len(a) > 0
+
+    q = spark.createDataFrame([(0, "of the")], "query_id int, query string")
+    got_a = {(r.doc_id, r.n_matches)
+             for r in ph.phrase_search(q, positional).collect()}
+    got_b = {(r.doc_id, r.n_matches)
+             for r in ph.phrase_search(q, pos_b).collect()}
+    assert got_a == got_b and len(got_a) > 0

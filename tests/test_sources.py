@@ -84,3 +84,75 @@ def test_merge_wordpiece(spark):
     )
     got = {(r.token, r.label) for r in formats.merge_wordpiece(tokens).collect()}
     assert got == {("hemoglobin", "B-organic"), ("binds", "O")}
+
+
+def test_merge_sentencepiece(spark):
+    """W3 (XLNet_annotator.py:846-859): ▁-prefixed token starts a word,
+    bare token appends to the previous word, ▁ is stripped."""
+    tokens = spark.createDataFrame(
+        [
+            ("d1", 0, "▁hemo", "B-organic"),
+            ("d1", 1, "globin", "O"),
+            ("d1", 2, "▁binds", "O"),
+            ("d1", 3, "▁ir", "B-inorganic"),
+            ("d1", 4, "on", "O"),
+            ("d2", 0, "▁copper", "B-inorganic"),
+        ],
+        "pmid string, pos long, token string, label string",
+    )
+    got = {(r.pmid, r.token, r.label)
+           for r in formats.merge_sentencepiece(tokens).collect()}
+    assert got == {
+        ("d1", "hemoglobin", "B-organic"),
+        ("d1", "binds", "O"),
+        ("d1", "iron", "B-inorganic"),
+        ("d2", "copper", "B-inorganic"),
+    }
+
+
+def test_merge_sentencepiece_roundtrip_reference_entities(spark):
+    """Chunk real XLNet entity words into SentencePiece-style pieces
+    (first piece ▁-prefixed, 3-char continuation pieces) and merge back:
+    output words must equal the originals byte-for-byte. Uses the
+    committed converted XLNet output as the word source."""
+    import os
+
+    path = "/root/reference/data/tool_annotations/xlnet_chemdner_test.txt"
+    if not os.path.exists(path):
+        pytest.skip("reference repo not available")
+    words = []
+    with open(path, encoding="utf8") as f:
+        for ln in list(f)[:200]:
+            parts = ln.rstrip("\n").split("\t")
+            if len(parts) >= 2:
+                words.extend(parts[1].split())
+    rows, pos = [], 0
+    for w in dict.fromkeys(words):  # distinct, order kept
+        chunks = [w[:3]] + [w[i:i + 3] for i in range(3, len(w), 3)]
+        rows.append(("doc", pos, "▁" + chunks[0], "B-chem"))
+        pos += 1
+        for c in chunks[1:]:
+            rows.append(("doc", pos, c, "O"))
+            pos += 1
+    tokens = spark.createDataFrame(
+        rows, "pmid string, pos long, token string, label string"
+    )
+    got = [r.token for r in
+           formats.merge_sentencepiece(tokens).orderBy("pos").collect()]
+    assert got == list(dict.fromkeys(words))
+
+
+def test_parse_cdi_tsv(spark):
+    """S8 (_read_CDI_data, BERT_annotator.py:232-252): pmid\\ttitle\\tabstract
+    -> (pmid, title + ' ' + abstract)."""
+    lines = spark.createDataFrame(
+        [("123\tA title\tAn abstract body",),
+         ("456\tOther\tText here",),
+         ("badline",)],
+        "value string",
+    )
+    got = {(r.pmid, r.text) for r in formats.parse_cdi_tsv(lines).collect()}
+    assert got == {
+        ("123", "A title An abstract body"),
+        ("456", "Other Text here"),
+    }

@@ -119,3 +119,54 @@ def test_windowed_event_counts(spark, tmp_path):
     got_rows = {(r.window.start, r.event_type, r.n) for r in got.collect()}
     batch_rows = {(r.window.start, r.event_type, r.n) for r in batch.collect()}
     assert got_rows <= batch_rows
+
+
+def test_sessionize_stream_late_events(spark, tmp_path):
+    """Cross-batch late events (older than the open session's start):
+    within the gap -> the session start extends BACKWARDS; a full gap
+    before it -> the event forms its own earlier session instead of being
+    silently absorbed. Watermark is set wide so Spark doesn't pre-drop
+    the late rows before the stateful operator sees them."""
+    src = str(tmp_path / "late_in")
+    ckpt = str(tmp_path / "late_ckpt")
+    out_dir = str(tmp_path / "late_out")
+
+    def run_batch(rows):
+        df = spark.createDataFrame(
+            rows, "user_id long, ts_s string, value double"
+        ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "value")
+        df.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream
+            .schema("user_id long, ts timestamp, value double")
+            .parquet(src)
+        )
+        out = ingest.sessionize_stream(stream, gap_seconds=1800,
+                                       watermark="12 hours")
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch([(1, "2025-01-01 02:00:00", 1.0)])
+    # batch 2: one event a full gap before the open session (own session),
+    # one within the gap (extends the session backwards), one after the
+    # gap (closes and emits the extended session)
+    run_batch([
+        (1, "2025-01-01 00:00:00", 5.0),
+        (1, "2025-01-01 01:45:00", 2.0),
+        (1, "2025-01-01 03:00:00", 3.0),
+    ])
+    got = {
+        (r.n_events, r.total_value, str(r.session_start))
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert (1, 5.0, "2025-01-01 00:00:00") in got
+    assert (2, 3.0, "2025-01-01 01:45:00") in got
