@@ -132,8 +132,9 @@ def q_bm25_topk(spark, sf_dir):
 
 
 def q_bm25_wand(spark, sf_dir):
-    """Non-SQL path: block-max WAND over compressed postings (rows-only
-    check; rank-identity to q_bm25_topk is asserted in tests)."""
+    """Block-max WAND over compressed postings — oracle-checked against
+    the same BM25 SQL as the naive path (rank-identical by contract,
+    scores rounded to 6 before ranking on both sides)."""
     docs = _docs(spark, sf_dir)
     dt = ib.build_doc_terms(docs).cache()
     ds = ib.build_doc_stats(dt).cache()
@@ -141,6 +142,20 @@ def q_bm25_wand(spark, sf_dir):
     postings = ib.build_postings(dt, ds, avgdl, salt=4)
     queries = spark.createDataFrame(BM25_QUERY_SET, "query_id int, query string")
     return bm25.bm25_wand(queries, postings, n, avgdl, k=10)
+
+
+def q_bm25_wand_sharded(spark, sf_dir):
+    """Doc-range-sharded scoring over bucket-consistent posting RUNS:
+    per-(query, bucket) top-k + tiny global merge — per-task posting bytes
+    bounded by the bucket width even for stop-word terms. Rank-identical
+    to bm25_wand; shares the BM25 SQL oracle."""
+    docs = _docs(spark, sf_dir)
+    dt = ib.build_doc_terms(docs).cache()
+    ds = ib.build_doc_stats(dt).cache()
+    n, avgdl = ib.corpus_stats(ds)
+    runs = ib.build_posting_runs(dt, ds, avgdl, salt=4, n_docs=n)
+    queries = spark.createDataFrame(BM25_QUERY_SET, "query_id int, query string")
+    return bm25.bm25_wand_sharded(queries, runs, n, avgdl, k=10)
 
 
 def q_stopword_filter(spark, sf_dir):
@@ -726,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "bm25_topk": q_bm25_topk,
         "bm25_wand": q_bm25_wand,
+        "bm25_wand_sharded": q_bm25_wand_sharded,
         "stopword_filter": q_stopword_filter,
         "eval_micro_prf": q_eval_micro_prf,
         "levenshtein_fuzzy": q_levenshtein_fuzzy,
@@ -1188,6 +1204,8 @@ WITH {_TOKS_CTE}, {_DT_CTE}
 SELECT doc_id, sum(tf)::BIGINT AS doclen FROM dt GROUP BY 1
 """,
         "bm25_topk": _bm25_sql(),
+        "bm25_wand": _bm25_sql(),
+        "bm25_wand_sharded": _bm25_sql(),
         "stopword_filter": f"""
 WITH {_TOKS_CTE}, {_DT_CTE}
 SELECT doc_id, count(*)::BIGINT AS n_terms, sum(tf)::BIGINT AS n_tokens

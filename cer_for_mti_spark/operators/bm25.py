@@ -260,6 +260,71 @@ def bm25_wand(queries: DataFrame, postings: DataFrame, n_docs: int,
     return fetched.groupBy("query_id").applyInPandas(score_group, TOPK_SCHEMA)
 
 
+def bm25_wand_sharded(queries: DataFrame, runs: DataFrame, n_docs: int,
+                      avgdl: float, k: int = 10, mode: str = "simple",
+                      scorer: str = "auto") -> DataFrame:
+    """Doc-range-sharded top-k: score per (query_id, bucket) with a
+    per-bucket top-k, then a tiny global merge — rank-identical to
+    bm25_wand over the merged postings.
+
+    Input is the RUN-level relation from index_build.build_posting_runs:
+    buckets are doc-id ranges CONSISTENT ACROSS TERMS, so every posting of
+    doc d (whatever the term) lives in d's bucket and the per-doc score is
+    complete within it. Each bucket's top-k is a superset filter of the
+    global top-k, so the union (S·k tiny rows per query) merged by one
+    window is exact.
+
+    Why this exists: bm25_wand co-locates ALL of a query's posting bytes
+    in ONE task (groupBy(query_id)); at 10^12 docs a stop-word term's
+    posting is tens of GB — single-task OOM no matter how well WAND skips
+    CPU work. Here a task fetches only one bucket's slice of each posting,
+    so per-task bytes are bounded by the bucket width regardless of term
+    hotness, and a hot query parallelizes across S tasks.
+
+    idf needs the GLOBAL df: run-local df is summed per term first
+    (broadcast back onto the runs)."""
+    qt = query_terms(queries, mode)
+    fetched = runs.join(F.broadcast(qt), "term")
+    gdf = (
+        runs.join(F.broadcast(qt.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.sum("df").alias("_gdf"))
+    )
+    fetched = (
+        fetched.join(F.broadcast(gdf), "term")
+        .drop("df")
+        .withColumnRenamed("_gdf", "df")  # _decode_cursor reads row["df"]
+    )
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        rows = [pdf.iloc[i] for i in range(len(pdf))]
+        rows.sort(key=lambda r: r["term"])  # deterministic accumulation
+        if scorer == "taat" or (
+            scorer == "auto" and pdf["df"].sum() <= TAAT_MASS_THRESHOLD
+        ):
+            ranked = _taat_one_query(rows, n_docs, avgdl, k)
+        else:
+            ranked = _wand_one_query(rows, n_docs, avgdl, k)
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "doc_id": [d for _, d in ranked],
+                "score": [s for s, _ in ranked],
+            }
+        )
+
+    cands = fetched.groupBy("query_id", "bucket").applyInPandas(
+        score_bucket, "query_id int, doc_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
 def read_postings_pruned(spark, index_path: str, query_terms: list[str],
                          num_shards: int = 32,
                          base_df: DataFrame | None = None) -> DataFrame:

@@ -363,25 +363,26 @@ def _make_merge_runs_udf(avgdl: float):
     return merge_runs
 
 
-def build_postings(doc_terms: DataFrame, doc_stats: DataFrame, avgdl: float,
-                   salt: int | None = None, n_docs: int | None = None) -> DataFrame:
-    """True SPIMI: salted sorted-run construction -> COMPRESSED-run merge.
+RUN_FIELDS = ["first_id", "last_id", "df", "doc_ids", "tfs", "doclens",
+              "block_last", "block_max", "max_impact"]
 
-    Phase 1 groups on (term, range_bucket(doc_id)) — a stop word's posting
-    is accumulated AND compressed by S tasks instead of one (explicit skew
+
+def build_posting_runs(doc_terms: DataFrame, doc_stats: DataFrame,
+                       avgdl: float, salt: int | None = None,
+                       n_docs: int | None = None) -> DataFrame:
+    """Phase 1 of the SPIMI build: salted sorted-run construction.
+    Groups on (term, range_bucket(doc_id)) — a stop word's posting is
+    accumulated AND compressed by S tasks instead of one (explicit skew
     handling; AQE skew-split does not cover aggregations). Buckets are
-    doc-id RANGES, not hashes, so each run is a contiguous sorted slice.
+    doc-id RANGES, not hashes, so (a) each run is a contiguous sorted
+    slice that merges by byte concat, and (b) the bucket is CONSISTENT
+    ACROSS TERMS — every posting of doc d, whatever the term, lands in
+    bucket d // width. Property (b) is what makes bucket-sharded query
+    scoring (bm25.bm25_wand_sharded) correct: a doc's full score is
+    computable inside its own bucket.
 
-    Phase 2 merges each term's <=S runs by BYTE CONCATENATION with a
-    one-varint boundary patch (merge_encoded_runs) — the merge exchange
-    moves compressed bytes (10-20x smaller than the raw struct arrays it
-    previously moved) and never materializes a decoded posting. This is
-    what makes the hot-term path scale: before, a 10^6-entry stop-word
-    posting was array_sort'ed + encoded inside ONE task; now the heavy
-    work happened in phase 1 across S tasks.
-
-    Python is crossed twice per posting (encode run, merge runs), both
-    Arrow-batched, both numpy/bytes-level."""
+    Returns (term, bucket, first_id, last_id, df, doc_ids, tfs, doclens,
+    block_last, block_max, max_impact) — df is RUN-LOCAL here."""
     if salt is None:
         salt = salt_for(n_docs or 1_000_000)
 
@@ -404,21 +405,43 @@ def build_postings(doc_terms: DataFrame, doc_stats: DataFrame, avgdl: float,
     # wrong bucket and breaking the contiguous-run merge invariant.
     salted = with_dl.withColumn("bucket", _range_bucket("doc_id", width))
     encode_run = _make_encode_run_udf(avgdl)
-    runs = (
+    return (
         salted.groupBy("term", "bucket")
         .agg(F.array_sort(F.collect_list(
             F.struct("doc_id", "tf", "doclen"))).alias("plist"))
         .select(
             "term",
+            "bucket",
             encode_run(
                 F.transform("plist", lambda s: s["doc_id"]),
                 F.transform("plist", lambda s: s["tf"].cast("long")),
                 F.transform("plist", lambda s: s["doclen"]),
             ).alias("run"),
         )
+        .select("term", "bucket", "run.*")
     )
+
+
+def build_postings(doc_terms: DataFrame, doc_stats: DataFrame, avgdl: float,
+                   salt: int | None = None, n_docs: int | None = None) -> DataFrame:
+    """True SPIMI: salted sorted-run construction (build_posting_runs) ->
+    COMPRESSED-run merge.
+
+    Phase 2 merges each term's <=S runs by BYTE CONCATENATION with a
+    one-varint boundary patch (merge_encoded_runs) — the merge exchange
+    moves compressed bytes (10-20x smaller than the raw struct arrays it
+    previously moved) and never materializes a decoded posting. This is
+    what makes the hot-term path scale: before, a 10^6-entry stop-word
+    posting was array_sort'ed + encoded inside ONE task; now the heavy
+    work happened in phase 1 across S tasks.
+
+    Python is crossed twice per posting (encode run, merge runs), both
+    Arrow-batched, both numpy/bytes-level."""
+    runs = build_posting_runs(doc_terms, doc_stats, avgdl, salt=salt,
+                              n_docs=n_docs)
     merged = runs.groupBy("term").agg(
-        F.collect_list("run").alias("runs")  # compressed bytes move here
+        F.collect_list(F.struct(*RUN_FIELDS)).alias("runs")
+        # compressed bytes move here
     )
     return merged.select(
         "term", _make_merge_runs_udf(avgdl)("runs").alias("p")

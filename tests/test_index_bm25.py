@@ -191,3 +191,48 @@ def test_parallelism_determinism(spark, webtext, index_300, queries):
         ).collect()
     )
     assert base == re32
+
+
+def test_wand_sharded_rank_identity(spark, webtext, queries):
+    """Doc-range-sharded scoring (per-(query,bucket) top-k + global merge)
+    must be rank-identical to single-task-per-query WAND — including on a
+    skewed corpus where one stop word appears in every doc."""
+    skewed = webtext.withColumn(
+        "text", F.concat(F.lit("boilerplate "), F.col("text"),
+                         F.lit(" boilerplate boilerplate"))
+    )
+    dt = ib.build_doc_terms(skewed, mode="chem").cache()
+    ds = ib.build_doc_stats(dt).cache()
+    n, avgdl = ib.corpus_stats(ds)
+    runs = ib.build_posting_runs(dt, ds, avgdl, salt=6, n_docs=n)
+    postings = ib.build_postings(dt, ds, avgdl, salt=6, n_docs=n)
+    qs = queries.union(spark.createDataFrame(
+        [(9, "boilerplate insulin")], "query_id int, query string"
+    ))
+    for scorer in ("taat", "wand"):
+        sharded = bm25.bm25_wand_sharded(qs, runs, n, avgdl, k=10,
+                                         mode="chem", scorer=scorer)
+        merged = bm25.bm25_wand(qs, postings, n, avgdl, k=10, mode="chem",
+                                scorer=scorer)
+        a, b = _key(sharded.collect()), _key(merged.collect())
+        assert a == b and len(a) > 0, scorer
+
+
+def test_pruned_path_chem_greek_variants(spark, webtext, tmp_path):
+    """bm25_wand_from_index must include greek-canonical variant terms in
+    the pruned scan for mode='chem+greek' — a query containing a Greek
+    letter scores identically on the pruned path and the open postings DF."""
+    dt = ib.build_doc_terms(webtext, mode="chem+greek").cache()
+    ds = ib.build_doc_stats(dt).cache()
+    n, avgdl = ib.corpus_stats(ds)
+    postings = ib.build_postings(dt, ds, avgdl, salt=4)
+    idx = str(tmp_path / "greek_idx")
+    ib.write_index(postings, ds, idx, num_shards=8)
+    qs = spark.createDataFrame(
+        [(0, "TNF-α"), (1, "α-receptor insulin")], "query_id int, query string"
+    )
+    full = bm25.bm25_wand(qs, postings, n, avgdl, k=10, mode="chem+greek")
+    pruned = bm25.bm25_wand_from_index(spark, idx, qs, n, avgdl, k=10,
+                                       mode="chem+greek", num_shards=8)
+    a, b = _key(full.collect()), _key(pruned.collect())
+    assert a == b and len(a) > 0
