@@ -185,10 +185,78 @@ def golden_table(spark: SparkSession, ref_dir: str = REF) -> DataFrame:
     )
 
 
-def parse_golden_file(ref_dir: str = REF) -> dict[str, tuple[float, float, float]]:
-    """Parse result_printouts/results_tool_evaluation.txt -> expected values."""
+def evaluate_tool_leven(spark: SparkSession, tool: str,
+                        ref_dir: str = REF) -> tuple[float, float, float]:
+    """The reference's `-l` Levenshtein-relaxed mode for one tool
+    (run_tool_evaluation.py:504-552 semantics via
+    eval_ops.compare_annotations_levenshtein_ref), reproducing
+    results_tool_evaluation_leven.txt to 4 decimals."""
+    gold = load_gold(spark, ref_dir).cache()
+    pred = load_tool(spark, tool, ref_dir)
+    pred = pred.join(gold.select("doc_id").distinct(), "doc_id", "left_semi")
+    stop = analyze.load_stop_words(f"{ref_dir}/data/stop_words.txt")
+    row = eval_ops.compare_annotations_levenshtein_ref(
+        gold, pred, stop_words=stop
+    ).collect()[0]
+    return row["precision"], row["recall"], row["fscore"]
+
+
+def golden_leven_table(spark: SparkSession, ref_dir: str = REF,
+                       tools: list[str] | None = None) -> DataFrame:
+    rows = []
+    for tool in (tools or GOLDEN_TOOLS):
+        p, r, f1 = evaluate_tool_leven(spark, tool, ref_dir)
+        rows.append((tool, float(p), float(r), float(f1)))
+    return spark.createDataFrame(
+        rows, "tool string, precision double, recall double, fscore double"
+    )
+
+
+def bootstrap_tool(spark: SparkSession, tool: str, n_iter: int = 300,
+                   seed: int = 13, ref_dir: str = REF):
+    """Bootstrap mean/std/quantiles for one tool (EvaluateBootstrap,
+    run_tool_evaluation.py:905-944: doc resamples with replacement,
+    per-iter micro P/R/F rounded to 4, then mean/stdev/quantiles). The
+    RNG family differs (numpy default_rng vs random.choices), so parity
+    with results_tool_evaluation_bootstrap.txt is statistical: means
+    within a few stderr, stddevs within a factor — asserted with ±2σ
+    tolerances in tests."""
+    gold = load_gold(spark, ref_dir).cache()
+    pred = load_tool(spark, tool, ref_dir)
+    pred = pred.join(gold.select("doc_id").distinct(), "doc_id", "left_semi")
+    stop = analyze.load_stop_words(f"{ref_dir}/data/stop_words.txt")
+    return eval_ops.bootstrap_prf(gold, pred, n_iter=n_iter, seed=seed,
+                                  stop_words=stop).collect()[0]
+
+
+def parse_bootstrap_file(ref_dir: str = REF) -> dict[str, dict[str, float]]:
+    """results_tool_evaluation_bootstrap.txt -> {tool: {f_mean, f_std,
+    p_mean, p_std, r_mean, r_std}}."""
+    path = f"{ref_dir}/result_printouts/results_tool_evaluation_bootstrap.txt"
+    out: dict[str, dict[str, float]] = {}
+    cur = None
+    with open(path, encoding="utf8") as f:
+        for ln in f:
+            ln = ln.strip()
+            if ln.endswith(":"):
+                cur = ln[:-1]
+                out[cur] = {}
+            elif cur and "+/-" in ln:
+                name, _, rest = ln.partition(":")
+                mean_s, _, std_s = rest.partition("+/-")
+                key = {"F-score": "f", "Precision": "p", "Recall": "r"}[name]
+                out[cur][f"{key}_mean"] = float(mean_s)
+                out[cur][f"{key}_std"] = float(std_s)
+    return out
+
+
+def parse_golden_file(ref_dir: str = REF,
+                      fname: str = "results_tool_evaluation.txt",
+                      ) -> dict[str, tuple[float, float, float]]:
+    """Parse a result_printouts golden table (exact or leven variant)
+    -> {tool: (precision, recall, f1)} rounded to 4."""
     exp: dict[str, tuple[float, float, float]] = {}
-    path = f"{ref_dir}/result_printouts/results_tool_evaluation.txt"
+    path = f"{ref_dir}/result_printouts/{fname}"
     cur, vals = None, {}
     with open(path, encoding="utf8") as f:
         for ln in f:

@@ -29,3 +29,44 @@ def test_golden_row(spark, tool, expected):
     assert got == expected[tool], (
         f"{tool}: engine {got} != golden {expected[tool]}"
     )
+
+
+@pytest.fixture(scope="module")
+def expected_leven():
+    exp = rp.parse_golden_file(fname="results_tool_evaluation_leven.txt")
+    assert "Nested" in exp and exp["Nested"] == (1.0, 1.0, 1.0)
+    return exp
+
+
+@pytest.mark.parametrize("tool", rp.GOLDEN_TOOLS)
+def test_golden_leven_row(spark, tool, expected_leven):
+    """The reference's `-l` Levenshtein-relaxed mode
+    (run_tool_evaluation.py:504-552): every committed row of
+    results_tool_evaluation_leven.txt reproduced to 4 decimals — including
+    the already-predicted guard (`ann not in tool_ann`) and the
+    normalize-by-len(pred) convention in BOTH passes."""
+    got = rp.evaluate_tool_leven(spark, tool)
+    assert got == expected_leven[tool], (
+        f"{tool}: engine {got} != golden {expected_leven[tool]}"
+    )
+
+
+@pytest.mark.parametrize("tool", ["MTI", "SciBERT Ensemble",
+                                  "ChemDataExtractor"])
+def test_bootstrap_tolerance(spark, tool):
+    """Statistical parity with results_tool_evaluation_bootstrap.txt
+    (1000 resamples, random.choices seed 13): the engine's bootstrap uses
+    a different RNG family (numpy default_rng), so exact bit-match is
+    impossible — assert the engine's means land within 2 bootstrap-σ of
+    the committed means and the σ estimates agree within 35% (σ of σ over
+    300 iters is ~5%; 35% catches wrong-resampling bugs, not RNG noise)."""
+    exp = rp.parse_bootstrap_file()[tool]
+    got = rp.bootstrap_tool(spark, tool, n_iter=300, seed=13)
+    for m in ("p", "r", "f"):
+        assert abs(got[f"{m}_mean"] - exp[f"{m}_mean"]) <= 2 * exp[f"{m}_std"], (
+            tool, m, got[f"{m}_mean"], exp)
+        assert abs(got[f"{m}_std"] - exp[f"{m}_std"]) <= 0.35 * exp[f"{m}_std"], (
+            tool, m, got[f"{m}_std"], exp)
+        # quantiles must bracket sensibly: q34 <= mean <= q68 within noise
+        assert got[f"{m}_q34"] <= got[f"{m}_mean"] + 0.01
+        assert got[f"{m}_q68"] >= got[f"{m}_mean"] - 0.01
