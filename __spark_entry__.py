@@ -656,6 +656,19 @@ def q_ann_ivf(spark, sf_dir):
     return similarity.ivf_topk(emb, qs, k=5, n_centroids=16, nprobe=4)
 
 
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """IVF with Lloyd-refined centroids (deterministic hash init + rounded
+    means — non-SQL-expressible, rows-only; recall-vs-brute and cell
+    balance asserted in tests/test_similarity.py)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cents = similarity.kmeans_centroids(emb, n_centroids=16, n_iter=3)
+    return similarity.ivf_topk(emb, qs, k=5, n_centroids=16, nprobe=4,
+                               centroids=cents)
+
+
 PHRASES = [(0, "table scan"), (1, "hash join"), (2, "the the"),
            (3, "key order sort"), (4, "absent nonexistent")]
 
@@ -774,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_stats": q_bootstrap_stats,
         "token_count_bpe": q_token_count_bpe,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "phrase_search": q_phrase_search,
         "asof_join": q_asof_join,
         "reference_golden_metrics": q_reference_golden_metrics,

@@ -139,6 +139,62 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def kmeans_centroids(emb: DataFrame, n_centroids: int = 16, n_iter: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     ) -> DataFrame:
+    """Deterministic Lloyd refinement for IVF coarse quantization
+    (plugs into ivf_topk's centroids= hook — the slot its docstring
+    reserves). Init = the n_centroids vectors with the smallest portable
+    hash of their id (seedless but deterministic and order-free, unlike
+    first-N which inherits whatever the insert order clustered together).
+    Each iteration: broadcast-assign by cosine (one corpus scan, no corpus
+    shuffle), then per-cell element-wise mean via posexplode + avg — a
+    k·dim-sized aggregate. Means are rounded to 6 decimals so partial-agg
+    summation order cannot leak into assignments (same determinism
+    contract as the scorers). Empty cells keep their previous centroid.
+
+    Scale shape: per iteration one narrow corpus pass + one tiny agg;
+    centroids (k·dim doubles) collect to the driver between iterations,
+    truncating the plan lineage."""
+    from cer_for_mti_spark.functions.hashing import md5_60
+
+    spark = emb.sparkSession
+    v = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    cents_rows = (
+        v.withColumn("_h", md5_60(F.col("id").cast("string")))
+        .orderBy("_h", "id")
+        .limit(n_centroids)
+        .select(F.col("id").cast("long").alias("c_id"), F.col("v").alias("c_vec"))
+        .collect()
+    )
+    schema = "c_id long, c_vec array<double>"
+    for _ in range(n_iter):
+        cents = spark.createDataFrame(
+            [(int(r["c_id"]), list(r["c_vec"])) for r in cents_rows], schema
+        )
+        assigned = ivf_assign(emb, cents, id_col=id_col, vec_col=vec_col)
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                F.col("cell").alias("c_id"),
+                F.transform("pm", lambda s: s["m"]).alias("c_vec"),
+            )
+        )
+        new = {int(r["c_id"]): list(r["c_vec"]) for r in means.collect()}
+        cents_rows = [
+            {"c_id": int(r["c_id"]),
+             "c_vec": new.get(int(r["c_id"]), list(r["c_vec"]))}
+            for r in cents_rows
+        ]
+    return spark.createDataFrame(
+        [(r["c_id"], r["c_vec"]) for r in cents_rows], schema
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))

@@ -91,7 +91,16 @@ def test_all_queries_have_entries():
     no_oracle = qs - os_
     # non-SQL-expressible paths (driver records rows-only checks)
     allowed = {
-        "bm25_wand", "ann_lsh", "multimodal_features", "bootstrap_stats",
-        "reference_golden_metrics",
+        "ann_lsh", "ann_ivf_kmeans", "multimodal_features",
+        "bootstrap_stats", "reference_golden_metrics",
     }
     assert no_oracle <= allowed, f"undocumented oracle gaps: {no_oracle - allowed}"
+
+
+@pytest.mark.parametrize("name", sorted(set(se.queries()) - set(se.oracle_sql())))
+def test_rows_only_query_runs(spark, name):
+    """No-oracle entries must still run and return a stable schema with
+    >= 0 rows (the driver's weaker rows-only check)."""
+    sdf = se.queries()[name](spark, SF_DIR)
+    rows = sdf.collect()
+    assert sdf.columns and len(rows) >= 0

@@ -58,3 +58,76 @@ def test_lsh_recall(emb, qs):
     assert recall >= 0.8, f"LSH recall {recall}"
     # self-match must always survive (identical vectors share all buckets)
     assert all((q, q) in got for q in range(8))
+
+
+def _clustered_emb(spark):
+    """8 tight clusters, rows ordered cluster-major so naive first-N
+    centroid init degenerates (all init vectors land in cluster 0)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    dim = 16
+    centers = rng.standard_normal((8, dim)) * 3.0
+    rows, vid = [], 0
+    for ci in range(8):
+        for _ in range(25):
+            vec = centers[ci] + rng.standard_normal(dim) * 0.1
+            rows.append((vid, [float(x) for x in vec]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_centroids_deterministic(spark):
+    emb2 = _clustered_emb(spark)
+    a = similarity.kmeans_centroids(emb2, n_centroids=8, n_iter=3).collect()
+    b = similarity.kmeans_centroids(emb2, n_centroids=8, n_iter=3).collect()
+    assert sorted((r.c_id, tuple(r.c_vec)) for r in a) == \
+        sorted((r.c_id, tuple(r.c_vec)) for r in b)
+
+
+def test_ivf_kmeans_beats_first_n(spark):
+    """Lloyd-refined centroids must (a) keep recall-vs-brute at least as
+    good as first-N init and high in absolute terms, and (b) produce
+    BALANCED cells — first-N init on cluster-ordered data puts every
+    centroid inside one cluster, so cells degenerate and probe pruning
+    stops working at scale (nprobe/n_centroids of the corpus is the whole
+    point of IVF)."""
+    emb2 = _clustered_emb(spark)
+    qs2 = emb2.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    brute = {
+        (r.q_id, r.vec_id)
+        for r in similarity.brute_force_topk(emb2, qs2, k=5).collect()
+    }
+    first_n = {
+        (r.q_id, r.vec_id)
+        for r in similarity.ivf_topk(emb2, qs2, k=5, n_centroids=8,
+                                     nprobe=2).collect()
+    }
+    cents = similarity.kmeans_centroids(emb2, n_centroids=8, n_iter=5)
+    km = {
+        (r.q_id, r.vec_id)
+        for r in similarity.ivf_topk(emb2, qs2, k=5, n_centroids=8, nprobe=2,
+                                     centroids=cents).collect()
+    }
+    recall_first = len(first_n & brute) / len(brute)
+    recall_km = len(km & brute) / len(brute)
+    assert recall_km >= recall_first
+    assert recall_km >= 0.95
+
+    def max_cell(centroids):
+        if centroids is None:
+            centroids = emb2.filter(F.col("vec_id") < 8).select(
+                F.col("vec_id").alias("c_id"),
+                F.col("embedding").alias("c_vec"),
+            )
+        sizes = (
+            similarity.ivf_assign(emb2, centroids)
+            .groupBy("cell").count().collect()
+        )
+        return max(r["count"] for r in sizes)
+
+    # balanced cells: k-means' biggest cell is a fraction of the
+    # degenerate init's (which swallows ~the whole corpus)
+    assert max_cell(cents) <= 0.5 * max_cell(None)
