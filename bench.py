@@ -48,9 +48,20 @@ WORK = "/tmp/cer_bench"
 CORPUS = f"{WORK}/corpus_{SCALE_DOCS}"
 
 QUERY_NAMES = [
-    "tpch_q1", "top_orders", "doc_terms", "bm25_topk", "minhash_lsh",
-    "sessionize", "embedding_topk", "quality",
+    "tpch_q1", "top_orders", "doc_terms", "bm25_topk", "bm25_wand_sharded",
+    "minhash_lsh", "embedding_near_dup", "sessionize", "embedding_topk",
+    "quality",
 ]
+
+# 25 distinct ultra-hot terms prepended to EVERY doc of the skew variant
+# (df = corpus size each — the stop-word-skew regime the salted merge
+# exists for). The same 25 leading tokens are dropped so the token count,
+# and therefore the per-doc tokenize/encode work, matches the uniform run.
+BOILER = (
+    "privacy policy terms of service cookie settings subscribe newsletter "
+    "copyright all rights reserved contact about careers sitemap follow "
+    "us on social media share this article related posts trending now"
+)
 
 
 def _fresh_spark(cores: int):
@@ -86,8 +97,33 @@ def _phase_gen() -> None:
     print(json.dumps({"ok": True}))
 
 
+def _phase_gen_skew() -> None:
+    """Skew variant of the bench corpus: every doc starts with the same
+    25 boilerplate tokens (df = SCALE_DOCS hot keys), 25 original leading
+    tokens dropped so total token mass matches the uniform corpus.
+    Idempotent."""
+    if os.path.exists(f"{CORPUS}_skew/_SUCCESS"):
+        print(json.dumps({"ok": True}))
+        return
+    from pyspark.sql import functions as F
+
+    spark = _fresh_spark(CPUS)
+    docs = spark.read.parquet(CORPUS)
+    n_boiler = len(BOILER.split())
+    toks = F.split("text", r"\s+")
+    skew_text = F.concat_ws(
+        " ", F.lit(BOILER),
+        F.array_join(F.slice(toks, n_boiler + 1, 1 << 30), " "),
+    )
+    docs.withColumn("text", skew_text).write.mode("overwrite").parquet(
+        f"{CORPUS}_skew"
+    )
+    spark.stop()
+    print(json.dumps({"ok": True}))
+
+
 def _phase_build(cores: int, plan: str = "shuffle",
-                 mode: str = "simple") -> None:
+                 mode: str = "simple", corpus: str = "uniform") -> None:
     """Full index build (tokenize/normalize -> doc_terms -> salted SPIMI
     run encode -> compressed-run merge -> sharded write) at the given core
     count.
@@ -102,8 +138,9 @@ def _phase_build(cores: int, plan: str = "shuffle",
     from cer_for_mti_spark.operators import index_build as ib
 
     spark = _fresh_spark(cores)
-    docs = spark.read.parquet(CORPUS)
-    out = f"{WORK}/idx{cores}_{plan}"
+    src = CORPUS if corpus == "uniform" else f"{CORPUS}_skew"
+    docs = spark.read.parquet(src)
+    out = f"{WORK}/idx{cores}_{plan}" + ("" if corpus == "uniform" else "_skew")
     t0 = time.time()
     ds = ib.build_doc_stats(docs, mode=mode).persist()
     n, avgdl = ib.corpus_stats(ds)
@@ -229,6 +266,13 @@ def main() -> None:
     # (also produces the sharded index the query phase reads)
     t_fast = _run_phase(["--phase", "build", "--cores", str(CPUS),
                          "--plan", "shuffle"])["elapsed"]
+    # skew evidence: same token mass, but 25 terms with df = SCALE_DOCS
+    # (every doc). The salted run encode + compressed-byte merge must keep
+    # the build within ~1.3x of the uniform corpus — without salting the
+    # hot keys would serialize in single reducers.
+    _run_phase(["--phase", "gen_skew"])
+    t_skew = _run_phase(["--phase", "build", "--cores", str(CPUS),
+                         "--plan", "shuffle", "--corpus", "skew"])["elapsed"]
     qres = _run_phase(["--phase", "queries"])
 
     timings = {"index_build_synthetic": round(t_fast, 3), **qres["timings"]}
@@ -260,6 +304,11 @@ def main() -> None:
             "t_N_sec": round(t_n, 3),
             "t_4N_sec": round(t_4n, 3),
             "efficiency": round(eff, 3),
+        },
+        "skew": {
+            "t_uniform_sec": round(t_fast, 3),
+            "t_skew_sec": round(t_skew, 3),
+            "skew_over_uniform": round(t_skew / t_fast, 3),
         },
     }
 
@@ -300,6 +349,18 @@ def main() -> None:
             "test_narrow_path_parity, test_build_index_spimi_parity).\n\n"
             f"BM25 block-max WAND single-query p50 over the warmed sharded "
             f"index: **{qres['p50']*1000:.0f} ms** (top-10, k1=1.2 b=0.75).\n\n"
+            "## Skew evidence (stop-word-grade hot keys under measurement)\n\n"
+            "Skew corpus = the same 500k docs with the same token mass, but "
+            "every doc starts with the same 25 boilerplate tokens (25 terms "
+            "with df = 500,000 — hotter than any real stop word). The salted "
+            "run encode (doc-range buckets) + compressed-byte merge absorbs "
+            "them:\n\n"
+            "| corpus | wall (s) | docs/sec |\n|---|---|---|\n"
+            f"| uniform | {t_fast:.2f} | {SCALE_DOCS / t_fast:.0f} |\n"
+            f"| skewed | {t_skew:.2f} | {SCALE_DOCS / t_skew:.0f} |\n\n"
+            f"**Skew overhead: {t_skew / t_fast:.3f}x** (target <= ~1.3x; an "
+            "unsalted groupBy(term) build would serialize the 25 hot "
+            "postings in single reducers).\n\n"
             "## Query timings (local[{}], sf={})\n\n".format(CPUS, SF)
             + "| query | sec |\n|---|---|\n"
             + "".join(f"| {k} | {v} |\n" for k, v in timings.items())
@@ -313,13 +374,17 @@ if __name__ == "__main__":
         phase = sys.argv[sys.argv.index("--phase") + 1]
         if phase == "gen":
             _phase_gen()
+        elif phase == "gen_skew":
+            _phase_gen_skew()
         elif phase == "build":
             cores = int(sys.argv[sys.argv.index("--cores") + 1])
             plan = (sys.argv[sys.argv.index("--plan") + 1]
                     if "--plan" in sys.argv else "shuffle")
             mode = (sys.argv[sys.argv.index("--mode") + 1]
                     if "--mode" in sys.argv else "simple")
-            _phase_build(cores, plan, mode)
+            corpus = (sys.argv[sys.argv.index("--corpus") + 1]
+                      if "--corpus" in sys.argv else "uniform")
+            _phase_build(cores, plan, mode, corpus)
         elif phase == "queries":
             _phase_queries()
         else:
