@@ -727,17 +727,22 @@ def q_asof_join(spark, sf_dir):
 
 
 def q_reference_golden_metrics(spark, sf_dir):
-    """Rows-only: reproduce the reference's committed evaluation table
-    (13 tools, P/R/F1 to 4 decimals) from its own data files — exactness
-    is asserted in tests/test_reference_parity.py. Returns an empty frame
-    when /root/reference is absent."""
+    """Rows-only: reproduce the reference's committed evaluation tables
+    (13 tools x exact + Levenshtein-relaxed modes, P/R/F1 to 4 decimals)
+    from its own data files — exactness of all 26 rows is asserted in
+    tests/test_reference_parity.py. Returns an empty frame when
+    /root/reference is absent."""
     from cer_for_mti_spark.operators import reference_parity as rp
 
+    schema = ("tool string, mode string, precision double, recall double, "
+              "fscore double")
     if not rp.reference_available():
-        return spark.createDataFrame(
-            [], "tool string, precision double, recall double, fscore double"
-        )
-    return rp.golden_table(spark)
+        return spark.createDataFrame([], schema)
+    exact = rp.golden_table(spark).withColumn("mode", F.lit("exact"))
+    leven = rp.golden_leven_table(spark).withColumn("mode", F.lit("leven"))
+    return exact.union(leven).select(
+        "tool", "mode", "precision", "recall", "fscore"
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -78,18 +78,28 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"media_id": [], "frame_idx": [], "frame_ts_ms": [], "frame": []}
-            for _, row in pdf.iterrows():
-                dur = int(row["duration_ms"] or 0)
-                n = min(max_frames, max(1, dur // every_ms))
-                for i in range(n):
-                    out["media_id"].append(row["media_id"])
-                    out["frame_idx"].append(i)
-                    out["frame_ts_ms"].append(i * every_ms)
-                    out["frame"].append(
-                        _fake_feature(bytes(row["payload"]) + i.to_bytes(4, "little")).tolist()
-                    )
-            yield pd.DataFrame(out)
+            # vectorized row expansion (np.repeat/arange, no iterrows);
+            # only the per-frame decode call itself remains a loop — that
+            # is where the real ffmpeg/PIL call goes
+            dur = pd.to_numeric(pdf["duration_ms"], errors="coerce").fillna(
+                0).astype(np.int64).to_numpy()
+            n = np.minimum(max_frames, np.maximum(1, dur // every_ms))
+            row_idx = np.repeat(np.arange(len(pdf)), n)
+            prefix = np.cumsum(n) - n
+            frame_idx = np.arange(int(n.sum())) - np.repeat(prefix, n)
+            payloads = pdf["payload"].to_numpy()
+            frames = [
+                _fake_feature(
+                    bytes(payloads[r]) + int(f).to_bytes(4, "little")
+                ).tolist()
+                for r, f in zip(row_idx, frame_idx)
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].to_numpy()[row_idx],
+                "frame_idx": frame_idx.astype(np.int32),
+                "frame_ts_ms": (frame_idx * every_ms).astype(np.int32),
+                "frame": pd.Series(frames, dtype=object),
+            })
 
     return media.filter(F.col("media_type") == "video").mapInPandas(
         run, FRAME_SCHEMA

@@ -260,24 +260,40 @@ def phrase_search(phrases: DataFrame, positional: DataFrame,
         for i in range(1, need):
             docs_common = np.intersect1d(docs_common, decoded[i][0],
                                          assume_unique=True)
-        out_docs, out_n = [], []
-        for d in docs_common:
-            sets = []
-            for i in range(need):
-                ids, tfs, starts, ends, pos = decoded[i]
-                k = int(np.searchsorted(ids, d))
-                p = pos[starts[k]:ends[k]] - i
-                sets.append(p)
-            live = sets[0]
-            for p in sets[1:]:
-                live = np.intersect1d(live, p, assume_unique=True)
-            if len(live):
-                out_docs.append(int(d))
-                out_n.append(len(live))
+        if not len(docs_common):
+            return pd.DataFrame({
+                "phrase_id": pd.Series([], dtype="int64"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_matches": pd.Series([], dtype="int64"),
+            })
+        # fully vectorized adjacency: pack (dense doc rank, shifted pos)
+        # into one int64 key per occurrence and intersect the key sets
+        # across the phrase's terms — no per-doc Python loop, so stop-word
+        # phrases ("the the") cost O(sum posting sizes · log), not
+        # O(candidate docs) Python iterations. pos < 2^31 and
+        # rank < 2^30 keep the packing exact.
+        SHIFT = np.int64(1) << 33
+        OFFSET = np.int64(1) << 32
+        live = None
+        for i in range(need):
+            ids, tfs, starts, ends, pos = decoded[i]
+            sel = np.searchsorted(ids, docs_common)
+            lens = ends[sel] - starts[sel]
+            prefix = np.cumsum(lens) - lens
+            take = np.arange(int(lens.sum())) + np.repeat(
+                starts[sel] - prefix, lens
+            )
+            ranks = np.repeat(np.arange(len(docs_common), dtype=np.int64),
+                              lens)
+            keys = ranks * SHIFT + (pos[take] - i) + OFFSET
+            live = keys if live is None else np.intersect1d(
+                live, keys, assume_unique=True
+            )
+        hit_ranks, counts = np.unique(live // SHIFT, return_counts=True)
         return pd.DataFrame({
-            "phrase_id": [qid] * len(out_docs),
-            "doc_id": out_docs,
-            "n_matches": out_n,
+            "phrase_id": np.full(len(hit_ranks), qid, dtype=np.int64),
+            "doc_id": docs_common[hit_ranks],
+            "n_matches": counts.astype(np.int64),
         })
 
     return fetched.groupBy("query_id").applyInPandas(match, PHRASE_HIT_SCHEMA)

@@ -161,10 +161,10 @@ def load_tool(spark: SparkSession, tool: str, ref_dir: str = REF) -> DataFrame:
     raise ValueError(f"unknown tool {tool!r}")
 
 
-def evaluate_tool(spark: SparkSession, tool: str,
-                  ref_dir: str = REF) -> tuple[float, float, float]:
+def evaluate_tool(spark: SparkSession, tool: str, ref_dir: str = REF,
+                  gold: DataFrame | None = None) -> tuple[float, float, float]:
     """(precision, recall, f1) rounded to 4, exactly as the golden file."""
-    gold = load_gold(spark, ref_dir).cache()
+    gold = gold if gold is not None else load_gold(spark, ref_dir).cache()
     pred = load_tool(spark, tool, ref_dir)
     # only gold docs are scored (reference iterates gold keys)
     pred = pred.join(gold.select("doc_id").distinct(), "doc_id", "left_semi")
@@ -176,22 +176,24 @@ def evaluate_tool(spark: SparkSession, tool: str,
 def golden_table(spark: SparkSession, ref_dir: str = REF) -> DataFrame:
     """The full reproduced table as a DataFrame (tool, precision, recall,
     fscore) — the engine's 'runs the reference's own queries' evidence."""
+    gold = load_gold(spark, ref_dir).cache()
     rows = []
     for tool in GOLDEN_TOOLS:
-        p, r, f1 = evaluate_tool(spark, tool, ref_dir)
+        p, r, f1 = evaluate_tool(spark, tool, ref_dir, gold=gold)
         rows.append((tool, float(p), float(r), float(f1)))
     return spark.createDataFrame(
         rows, "tool string, precision double, recall double, fscore double"
     )
 
 
-def evaluate_tool_leven(spark: SparkSession, tool: str,
-                        ref_dir: str = REF) -> tuple[float, float, float]:
+def evaluate_tool_leven(spark: SparkSession, tool: str, ref_dir: str = REF,
+                        gold: DataFrame | None = None,
+                        ) -> tuple[float, float, float]:
     """The reference's `-l` Levenshtein-relaxed mode for one tool
     (run_tool_evaluation.py:504-552 semantics via
     eval_ops.compare_annotations_levenshtein_ref), reproducing
     results_tool_evaluation_leven.txt to 4 decimals."""
-    gold = load_gold(spark, ref_dir).cache()
+    gold = gold if gold is not None else load_gold(spark, ref_dir).cache()
     pred = load_tool(spark, tool, ref_dir)
     pred = pred.join(gold.select("doc_id").distinct(), "doc_id", "left_semi")
     stop = analyze.load_stop_words(f"{ref_dir}/data/stop_words.txt")
@@ -203,9 +205,10 @@ def evaluate_tool_leven(spark: SparkSession, tool: str,
 
 def golden_leven_table(spark: SparkSession, ref_dir: str = REF,
                        tools: list[str] | None = None) -> DataFrame:
+    gold = load_gold(spark, ref_dir).cache()
     rows = []
     for tool in (tools or GOLDEN_TOOLS):
-        p, r, f1 = evaluate_tool_leven(spark, tool, ref_dir)
+        p, r, f1 = evaluate_tool_leven(spark, tool, ref_dir, gold=gold)
         rows.append((tool, float(p), float(r), float(f1)))
     return spark.createDataFrame(
         rows, "tool string, precision double, recall double, fscore double"
