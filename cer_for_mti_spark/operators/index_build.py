@@ -564,6 +564,86 @@ def build_postings_spimi(docs: DataFrame, avgdl: float,
              "p.block_last", "p.block_max", "p.max_impact")
 
 
+def postings_to_runs(postings: DataFrame) -> DataFrame:
+    """Merged postings -> run rows (recover first_id/last_id so they can
+    re-enter a byte-concat merge). first_id is the stream's leading
+    absolute varint; last_id needs the doc_ids stream decoded (numpy, the
+    tfs/doclens/positions streams stay untouched). Used by compact_index
+    to treat the existing index as 'just more runs'."""
+
+    @F.pandas_udf("first_id long, last_id long")
+    def ends(doc_ids_s: pd.Series) -> pd.DataFrame:
+        firsts, lasts = [], []
+        for b in doc_ids_s:
+            ids = delta_decode(bytes(b))
+            firsts.append(int(ids[0]))
+            lasts.append(int(ids[-1]))
+        return pd.DataFrame({"first_id": firsts, "last_id": lasts})
+
+    return postings.withColumn("e", ends("doc_ids")).select(
+        "term", F.col("e.first_id").alias("first_id"),
+        F.col("e.last_id").alias("last_id"), "df", "doc_ids", "tfs",
+        "doclens", "block_last", "block_max", "max_impact",
+    )
+
+
+def compact_index(spark, index_path: str, delta_dir: str, out_path: str,
+                  num_shards: int = 32) -> tuple[int, float]:
+    """Merge streamed doc_terms deltas (stream_doc_terms's sink rows:
+    doc_id, term, tf, doclen, batch_id) into the sharded index WITHOUT a
+    full rebuild: delta rows are encoded into runs and merged with the
+    existing per-term postings by the same compressed-byte concat
+    (merge_encoded_runs) — deltas really are just more runs. Overlapping
+    doc-id ranges (out-of-order ingest) take the decode/re-encode fallback
+    automatically.
+
+    Stats contract (Lucene-segment style): BM25 impacts and block maxes
+    are baked with the index's ORIGINAL avgdl; compaction freezes it so
+    the existing bytes stay valid, and queries against the compacted index
+    must pass the returned (n, avgdl). A periodic full rebuild refreshes
+    global stats; between rebuilds the approximation drifts by the
+    delta/corpus length-mix ratio (standard for incremental inverted
+    indexes). Returns (new_n_docs, frozen_avgdl)."""
+    postings = spark.read.parquet(f"{index_path}/postings").drop("shard")
+    ds = spark.read.parquet(f"{index_path}/doc_stats")
+    n_old, avgdl = corpus_stats(ds)
+
+    delta = spark.read.parquet(delta_dir)
+    # dedupe FIRST (a replayed batch writes identical rows), then doclen =
+    # sum(tf) over the deduped relation so replays can't inflate lengths
+    if "doclen" in delta.columns:
+        delta_dt = delta.select(
+            "doc_id", "term", "tf", "doclen"
+        ).dropDuplicates(["doc_id", "term"])
+    else:
+        base = delta.select("doc_id", "term", "tf").dropDuplicates(
+            ["doc_id", "term"]
+        )
+        dl = base.groupBy("doc_id").agg(
+            F.sum("tf").cast("long").alias("doclen")
+        )
+        delta_dt = base.join(dl, "doc_id")
+    delta_ds = delta_dt.groupBy("doc_id").agg(F.max("doclen").alias("doclen"))
+    n_new = n_old + delta_ds.count()
+
+    delta_runs = build_posting_runs(delta_dt, None, avgdl, n_docs=n_new)
+    old_runs = postings_to_runs(postings)
+    all_runs = old_runs.select("term", *RUN_FIELDS).union(
+        delta_runs.select("term", *RUN_FIELDS)
+    )
+    merged = all_runs.groupBy("term").agg(
+        F.collect_list(F.struct(*RUN_FIELDS)).alias("runs")
+    ).select(
+        "term", _make_merge_runs_udf(avgdl)("runs").alias("p")
+    ).select("term", "p.df", "p.doc_ids", "p.tfs", "p.doclens",
+             "p.block_last", "p.block_max", "p.max_impact")
+    new_ds = ds.select("doc_id", "doclen").union(
+        delta_ds.select("doc_id", "doclen")
+    ).dropDuplicates(["doc_id"])
+    write_index(merged, new_ds, out_path, num_shards=num_shards)
+    return n_new, avgdl
+
+
 def shard_postings(postings: DataFrame, num_shards: int = 32) -> DataFrame:
     """Persisted shard column = md5-based hash of term (portable,
     partition-prunable: query terms map to shards by the same function)."""

@@ -7,9 +7,11 @@ the index must absorb them without a full rebuild.
 
 - ``stream_doc_terms``: readStream over a documents directory ->
   tokenize -> explode -> per-micro-batch (doc_id, term, tf) deltas,
-  appended via foreachBatch into a staging postings-delta table that a
-  periodic compaction merges into the main index (the SPIMI merge from
-  operators/index_build.py reused verbatim — deltas are just more runs).
+  appended via foreachBatch into a staging postings-delta table that
+  ``index_build.compact_index`` merges into the main index (the SPIMI
+  byte-concat merge reused verbatim — deltas are just more runs; global
+  stats frozen Lucene-segment-style until a full rebuild, see its
+  docstring; tested in test_index_bm25.py::test_compact_index).
 - ``windowed_event_counts``: watermark + sliding-window agg (late-data
   tolerant), the canonical streaming shape.
 """

@@ -236,3 +236,76 @@ def test_pruned_path_chem_greek_variants(spark, webtext, tmp_path):
                                        mode="chem+greek", num_shards=8)
     a, b = _key(full.collect()), _key(pruned.collect())
     assert a == b and len(a) > 0
+
+
+def test_compact_index(spark, tmp_path):
+    """Streamed-delta compaction: existing postings re-enter the merge as
+    runs (postings_to_runs) and delta doc_terms merge in by byte concat.
+    The compacted index's avgdl-independent content (df, doc_ids, tfs,
+    doclens) must equal a from-scratch build over the full corpus, and
+    WAND over it (frozen stats) must be rank-identical to the exhaustive
+    scorer on the same inputs."""
+    from cer_for_mti_spark import datagen
+
+    full = datagen.generate_webtext(spark, 120, seed=11).cache()
+    old = full.filter(F.col("doc_id") < 80)
+    new = full.filter(F.col("doc_id") >= 80)
+
+    dt_old = ib.build_doc_terms(old).cache()
+    ds_old = ib.build_doc_stats(dt_old)
+    n_old, avgdl_old = ib.corpus_stats(ds_old)
+    idx = str(tmp_path / "idx_old")
+    ib.write_index(ib.build_postings(dt_old, ds_old, avgdl_old, salt=4),
+                   ds_old, idx, num_shards=8)
+
+    delta_dir = str(tmp_path / "deltas")
+    ib.build_doc_terms(new).withColumn("batch_id", F.lit(0)).write.parquet(
+        delta_dir
+    )
+    out = str(tmp_path / "idx_compacted")
+    n2, avgdl_frozen = ib.compact_index(spark, idx, delta_dir, out,
+                                        num_shards=8)
+    assert n2 == 120 and avgdl_frozen == avgdl_old
+
+    compacted = spark.read.parquet(f"{out}/postings").cache()
+    dt_full = ib.build_doc_terms(full)
+    ds_full = ib.build_doc_stats(dt_full)
+    rebuilt = ib.build_postings(dt_full, ds_full, avgdl_frozen, salt=4)
+    a = {r["term"]: (r["df"], bytes(r["doc_ids"]), bytes(r["tfs"]),
+                     bytes(r["doclens"])) for r in compacted.collect()}
+    b = {r["term"]: (r["df"], bytes(r["doc_ids"]), bytes(r["tfs"]),
+                     bytes(r["doclens"])) for r in rebuilt.collect()}
+    assert a == b and len(a) > 0
+
+    qs = spark.createDataFrame(
+        [(0, "the data"), (1, "insulin protein"), (2, "zzz")],
+        "query_id int, query string",
+    )
+    w = bm25.bm25_wand(qs, compacted, n2, avgdl_frozen, k=10, scorer="wand")
+    e = bm25.bm25_from_postings_naive(qs, compacted, n2, avgdl_frozen, k=10)
+    assert _key(w.collect()) == _key(e.collect())
+
+    # out-of-order ingest: a delta whose doc ids INTERLEAVE the existing
+    # range must take the overlap fallback and still match the rebuild
+    old2 = full.filter(F.col("doc_id") % 3 != 0)
+    new2 = full.filter(F.col("doc_id") % 3 == 0)
+    dt_old2 = ib.build_doc_terms(old2).cache()
+    ds_old2 = ib.build_doc_stats(dt_old2)
+    n_o2, avgdl_o2 = ib.corpus_stats(ds_old2)
+    idx2 = str(tmp_path / "idx_old2")
+    ib.write_index(ib.build_postings(dt_old2, ds_old2, avgdl_o2, salt=4),
+                   ds_old2, idx2, num_shards=8)
+    delta2 = str(tmp_path / "deltas2")
+    ib.build_doc_terms(new2).withColumn("batch_id", F.lit(0)).write.parquet(
+        delta2
+    )
+    out2 = str(tmp_path / "idx_compacted2")
+    n3, avgdl_f2 = ib.compact_index(spark, idx2, delta2, out2, num_shards=8)
+    assert n3 == 120
+    compacted2 = spark.read.parquet(f"{out2}/postings")
+    rebuilt2 = ib.build_postings(dt_full, ds_full, avgdl_f2, salt=4)
+    a2 = {r["term"]: (r["df"], bytes(r["doc_ids"]), bytes(r["tfs"]),
+                      bytes(r["doclens"])) for r in compacted2.collect()}
+    b2 = {r["term"]: (r["df"], bytes(r["doc_ids"]), bytes(r["tfs"]),
+                      bytes(r["doclens"])) for r in rebuilt2.collect()}
+    assert a2 == b2 and len(a2) > 0
