@@ -232,6 +232,16 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_dup_components(spark, sf_dir):
+    """Near-dup GROUP materialization: connected components (min reachable
+    doc_id) over the MinHash+LSH pair relation — the transitive-closure
+    step between pair generation and keep-one-per-group."""
+    pairs = dedup.minhash_lsh_pairs(
+        _doubled(spark, sf_dir), num_hashes=16, bands=4, k=3, threshold=0.5
+    )
+    return dedup.dup_components(pairs)
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup over a doubled corpus (guaranteed exact
     duplicates at cosine 1.0): sign-LSH banded candidates (equi-join on
@@ -767,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_spans": q_nested_spans,
         "exact_dup_groups": q_exact_dup_groups,
         "minhash_lsh": q_minhash_lsh,
+        "dup_components": q_dup_components,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
@@ -830,7 +841,9 @@ SELECT query_id, doc_id, score, rank FROM (
 """
 
 
-def _minhash_sql() -> str:
+def _minhash_ctes() -> str:
+    """Shared CTE chain (dup..est) replaying MinHash+LSH band candidates;
+    used by the minhash_lsh oracle and the dup_components closure oracle."""
     nh, bands, rows = 16, 4, 4
     mins = ", ".join(
         "min(" + md5_60_sql(f"'{i}:' || shingle") + f") AS h{i}"
@@ -850,8 +863,7 @@ def _minhash_sql() -> str:
     eq = " + ".join(
         f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(nh)
     )
-    return f"""
-WITH dup AS (SELECT doc_id, text FROM documents
+    return f"""dup AS (SELECT doc_id, text FROM documents
              UNION ALL SELECT doc_id + 100000, text FROM documents),
 tok AS (SELECT doc_id, list_filter({_T}, x -> x <> '') AS a FROM dup),
 tokpos AS (SELECT doc_id, unnest(a) AS term,
@@ -867,8 +879,29 @@ cand AS (SELECT DISTINCT doc_a, doc_b FROM ({band_union})),
 est AS (SELECT c.doc_a, c.doc_b,
                round(({eq}) / 16.0, 6) AS est_jaccard
         FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id
-             JOIN sig sb ON c.doc_b = sb.doc_id)
-SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+             JOIN sig sb ON c.doc_b = sb.doc_id)"""
+
+
+def _minhash_sql() -> str:
+    return (f"WITH {_minhash_ctes()} "
+            "SELECT doc_a, doc_b, est_jaccard FROM est "
+            "WHERE est_jaccard >= 0.5")
+
+
+def _dup_components_sql() -> str:
+    """Transitive closure of the MinHash near-dup pairs via a recursive
+    CTE: component = min reachable doc_id (components are tiny, so the
+    closure stays small)."""
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+pairs AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (SELECT src AS node, src AS lbl FROM edges
+          UNION
+          SELECT e.dst AS node, r.lbl
+          FROM reach r JOIN edges e ON e.src = r.node)
+SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node
 """
 
 
@@ -1289,6 +1322,7 @@ SELECT {md5_60_sql('text')} AS hash, count(*)::BIGINT AS n_dups,
 FROM dup GROUP BY 1 HAVING count(*) > 1
 """,
         "minhash_lsh": _minhash_sql(),
+        "dup_components": _dup_components_sql(),
         "simhash": _simhash_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
         "embedding_near_dup": _embedding_near_dup_sql(),

@@ -53,10 +53,10 @@ QUERY_NAMES = [
     "quality",
 ]
 
-# 25 distinct ultra-hot terms prepended to EVERY doc of the skew variant
+# 29 distinct ultra-hot terms prepended to EVERY doc of the skew variant
 # (df = corpus size each — the stop-word-skew regime the salted merge
-# exists for). The same 25 leading tokens are dropped so the token count,
-# and therefore the per-doc tokenize/encode work, matches the uniform run.
+# exists for). The same number of leading tokens is dropped so the token
+# count, and the per-doc tokenize/encode work, matches the uniform run.
 BOILER = (
     "privacy policy terms of service cookie settings subscribe newsletter "
     "copyright all rights reserved contact about careers sitemap follow "
@@ -99,9 +99,9 @@ def _phase_gen() -> None:
 
 def _phase_gen_skew() -> None:
     """Skew variant of the bench corpus: every doc starts with the same
-    25 boilerplate tokens (df = SCALE_DOCS hot keys), 25 original leading
-    tokens dropped so total token mass matches the uniform corpus.
-    Idempotent."""
+    len(BOILER.split()) boilerplate tokens (df = SCALE_DOCS hot keys), the
+    same number of original leading tokens dropped so total token mass
+    matches the uniform corpus. Idempotent."""
     if os.path.exists(f"{CORPUS}_skew/_SUCCESS"):
         print(json.dumps({"ok": True}))
         return
@@ -350,11 +350,17 @@ def main() -> None:
             f"BM25 block-max WAND single-query p50 over the warmed sharded "
             f"index: **{qres['p50']*1000:.0f} ms** (top-10, k1=1.2 b=0.75).\n\n"
             "## Skew evidence (stop-word-grade hot keys under measurement)\n\n"
-            "Skew corpus = the same 500k docs with the same token mass, but "
-            "every doc starts with the same 25 boilerplate tokens (25 terms "
-            "with df = 500,000 — hotter than any real stop word). The salted "
-            "run encode (doc-range buckets) + compressed-byte merge absorbs "
-            "them:\n\n"
+            f"Skew corpus = the same {SCALE_DOCS} docs with the same token "
+            f"mass, but every doc starts with the same {len(BOILER.split())} "
+            f"boilerplate tokens ({len(BOILER.split())} terms with df = "
+            f"{SCALE_DOCS} — hotter than any real stop word). The salted run "
+            "encode (doc-range buckets) + compressed-byte merge absorbs "
+            "them. A ratio under 1.0 is expected, not suspicious: the hot "
+            "postings delta-encode to ~1 byte/doc and group into far fewer "
+            "(term, bucket) runs than the diverse tokens they displaced, so "
+            "the skewed build can be CHEAPER — the failure mode being "
+            "guarded against (hot keys serializing in single reducers) "
+            "would show up as a ratio of ~S/4 instead.\n\n"
             "| corpus | wall (s) | docs/sec |\n|---|---|---|\n"
             f"| uniform | {t_fast:.2f} | {SCALE_DOCS / t_fast:.0f} |\n"
             f"| skewed | {t_skew:.2f} | {SCALE_DOCS / t_skew:.0f} |\n\n"

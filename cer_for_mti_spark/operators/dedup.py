@@ -248,6 +248,59 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
     )
 
 
+def dup_components(pairs: DataFrame, a_col: str = "doc_a",
+                   b_col: str = "doc_b", max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pair edges -> (doc_id,
+    component) with component = the minimum doc_id reachable. This is the
+    step a real dedup pipeline runs between pair generation and
+    keep-one-per-group: near-dup is not transitive, so groups are the
+    transitive closure of the pair relation.
+
+    Shape: iterative min-label propagation — per round, one equi-join of
+    labels across edges + a min agg; converged when no label changes
+    (checked with one count action per round). Deterministic (min is
+    order-free). Labels are localCheckpoint()ed per round to truncate
+    lineage. max_iter bounds the worst-case chain diameter; near-dup
+    components are shallow in practice. At 10^12-edge scale swap the loop
+    body for alternating large-star/small-star (Kiveris et al.) — same
+    join-agg primitive, O(log n) rounds; the per-round plan is identical."""
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().cache()
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"),
+                              F.col("lbl").alias("nlbl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nlbl").alias("nbr_lbl"))
+            .withColumnRenamed("src", "node")
+        )
+        new = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl"))
+                .alias("new_lbl"),
+                F.col("lbl").alias("old_lbl"),
+            )
+        ).localCheckpoint()
+        changed = new.filter(F.col("new_lbl") != F.col("old_lbl")).count()
+        labels = new.select("node", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("lbl").alias("component"))
+
+
 def embedding_near_dup(emb: DataFrame, id_col: str = "vec_id",
                        vec_col: str = "embedding",
                        threshold: float = 0.95, dim: int = 64,

@@ -107,3 +107,16 @@ def test_ngram_jaccard_boilerplate_heavy(spark):
     }
     assert set(pairs) == {(100, 101)}
     assert pairs[(100, 101)] == round(5 / 7, 6)
+
+
+def test_dup_components_chain(spark):
+    """Transitive closure: a chain a-b, b-c collapses into one component
+    even though (a, c) was never a pair; disjoint pairs stay separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.doc_id: r.component
+           for r in dedup.dup_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
