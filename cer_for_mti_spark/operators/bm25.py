@@ -325,6 +325,55 @@ def bm25_wand_sharded(queries: DataFrame, runs: DataFrame, n_docs: int,
     )
 
 
+def _query_term_set(queries_rows, mode: str) -> set[str]:
+    """Driver-side query analysis mirroring the index tokenizer exactly
+    (incl. greek variants for chem+greek — the pruned scan must fetch
+    variant-term postings or they silently score zero)."""
+    from cer_for_mti_spark.functions.analyze import chem_tokenize_str, greek_variants
+    from cer_for_mti_spark.operators.index_build import _JAVA_WS_RE
+
+    terms: set[str] = set()
+    for r in queries_rows:
+        if mode == "simple":
+            terms.update(t for t in _JAVA_WS_RE.split(r["query"] or "") if t)
+        else:
+            ts = chem_tokenize_str(r["query"] or "")
+            if mode == "chem+greek":
+                ts = ts + greek_variants(ts)
+            terms.update(ts)
+    return terms
+
+
+def bm25_wand_sharded_from_index(spark, index_path: str, queries: DataFrame,
+                                 n_docs: int, avgdl: float, k: int = 10,
+                                 mode: str = "simple", num_shards: int = 32,
+                                 scorer: str = "auto",
+                                 base_df: DataFrame | None = None) -> DataFrame:
+    """End-to-end sharded query path over a WRITTEN runs index
+    (index_build.write_runs_index): literal shard filters prune whole
+    partition directories (PartitionFilters), term filters push into the
+    parquet row groups (PushedFilters), and scoring runs per
+    (query, bucket) with bounded task bytes — the full 10^12-doc query
+    shape: touch |terms| row groups, fetch one bucket slice per task."""
+    from cer_for_mti_spark.functions.hashing import md5_60_py
+
+    q_rows = queries.collect()
+    terms = _query_term_set(q_rows, mode)
+    if not terms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    shards = sorted({md5_60_py(t) % num_shards for t in terms})
+    df = base_df if base_df is not None else (
+        spark.read.option("basePath", f"{index_path}/runs").parquet(
+            f"{index_path}/runs"
+        )
+    )
+    pruned = df.filter(
+        F.col("shard").isin(shards) & F.col("term").isin(sorted(terms))
+    )
+    return bm25_wand_sharded(queries, pruned, n_docs, avgdl, k=k, mode=mode,
+                             scorer=scorer)
+
+
 def read_postings_pruned(spark, index_path: str, query_terms: list[str],
                          num_shards: int = 32,
                          base_df: DataFrame | None = None) -> DataFrame:
@@ -362,23 +411,8 @@ def bm25_wand_from_index(spark, index_path: str, queries: DataFrame,
     """End-to-end query path over a written index: analyze the query batch
     driver-side (tiny), prune the postings scan by shard + term, then
     score. Rank-identical to bm25_wand over the full postings relation."""
-    from cer_for_mti_spark.functions.analyze import chem_tokenize_str, greek_variants
-    from cer_for_mti_spark.operators.index_build import _JAVA_WS_RE
-
     q_rows = queries.collect()  # query batch is small by definition
-    terms = set()
-    for r in q_rows:
-        if mode == "simple":
-            # same split semantics as the JVM simple tokenizer (ASCII \s)
-            terms.update(t for t in _JAVA_WS_RE.split(r["query"] or "") if t)
-        else:
-            # mirror the index tokenizer exactly: chem+greek also indexes
-            # the greek-canonical variants, so the scan filter must include
-            # them or variant-term postings are pruned to zero score
-            ts = chem_tokenize_str(r["query"] or "")
-            if mode == "chem+greek":
-                ts = ts + greek_variants(ts)
-            terms.update(ts)
+    terms = _query_term_set(q_rows, mode)
     if not terms:
         return spark.createDataFrame([], TOPK_SCHEMA)
     pruned = read_postings_pruned(spark, index_path, sorted(terms),

@@ -670,6 +670,27 @@ def write_index(postings: DataFrame, doc_stats: DataFrame, path: str,
     doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
 
 
+def write_runs_index(runs: DataFrame, doc_stats: DataFrame, path: str,
+                     num_shards: int = 32) -> None:
+    """Persist the RUN-level index (build_posting_runs output) partitioned
+    by term shard — the storage layout for bm25_wand_sharded_from_index:
+    shard dirs prune at planning time, term predicates push into row
+    groups, and the bucket column survives as data so scoring groups on
+    (query_id, bucket) with bounded task bytes. This is the layout to
+    prefer at 10^12 docs: the merged-posting layout (write_index) stores a
+    hot term's entire posting in one row, which caps the read parallelism
+    of that term at 1 task."""
+    from cer_for_mti_spark.functions.hashing import md5_60
+
+    sharded = runs.withColumn(
+        "shard", F.pmod(md5_60(F.col("term")), F.lit(num_shards)).cast("int")
+    ).repartition(num_shards, "shard")
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(
+        f"{path}/runs"
+    )
+    doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
+
+
 def build_index(docs: DataFrame, mode: str = "simple",
                 salt: int | None = None,
                 plan: str = "narrow") -> tuple[DataFrame, DataFrame, int, float]:

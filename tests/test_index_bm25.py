@@ -309,3 +309,39 @@ def test_compact_index(spark, tmp_path):
     b2 = {r["term"]: (r["df"], bytes(r["doc_ids"]), bytes(r["tfs"]),
                       bytes(r["doclens"])) for r in rebuilt2.collect()}
     assert a2 == b2 and len(a2) > 0
+
+
+def test_wand_sharded_from_index(spark, webtext, queries, tmp_path):
+    """Written runs index: shard dirs prune (PartitionFilters), term
+    predicates push down (PushedFilters), and the pruned sharded path is
+    rank-identical to scoring the open runs DF."""
+    dt = ib.build_doc_terms(webtext, mode="chem").cache()
+    ds = ib.build_doc_stats(dt).cache()
+    n, avgdl = ib.corpus_stats(ds)
+    runs = ib.build_posting_runs(dt, ds, avgdl, salt=5, n_docs=n)
+    idx = str(tmp_path / "runs_idx")
+    ib.write_runs_index(runs, ds, idx, num_shards=8)
+
+    open_df = bm25.bm25_wand_sharded(queries, runs, n, avgdl, k=10,
+                                     mode="chem")
+    pruned = bm25.bm25_wand_sharded_from_index(spark, idx, queries, n, avgdl,
+                                               k=10, mode="chem",
+                                               num_shards=8)
+    assert _key(pruned.collect()) == _key(open_df.collect())
+    assert len(pruned.collect()) > 0
+
+    base = spark.read.option("basePath", f"{idx}/runs").parquet(f"{idx}/runs")
+    from cer_for_mti_spark.functions.hashing import md5_60_py
+    probe = base.filter(
+        F.col("shard").isin([md5_60_py("insulin") % 8])
+        & F.col("term").isin(["insulin"])
+    )
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "shard" in plan
+    assert "PushedFilters" in plan and "insulin" in plan
