@@ -213,6 +213,47 @@ def _decode_positional(row):
     return ids, tfs, starts, ends, pos
 
 
+def write_positional_index(positional: DataFrame, path: str,
+                           num_shards: int = 32) -> None:
+    """Persist positional postings hash-sharded on term (same layout
+    contract as the main index: shard dirs prune at planning time, term
+    predicates push into row groups)."""
+    from cer_for_mti_spark.operators.index_build import shard_postings
+
+    sharded = shard_postings(positional, num_shards).repartition(
+        num_shards, "shard"
+    )
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(
+        f"{path}/positional"
+    )
+
+
+def phrase_search_from_index(spark, index_path: str, phrases: DataFrame,
+                             mode: str = "simple", num_shards: int = 32,
+                             base_df: DataFrame | None = None) -> DataFrame:
+    """Scan-pruned phrase search over a written positional index: the
+    phrase batch's terms (and their shards — a pure function of the term)
+    are literal filters, so only |terms| row groups are touched at query
+    time. Result-identical to phrase_search on the open DF."""
+    from cer_for_mti_spark.functions.hashing import md5_60_py
+
+    terms = set()
+    for r in phrases.collect():
+        terms.update(phrase_terms(r["query"], mode))
+    if not terms:
+        return phrases.sparkSession.createDataFrame([], PHRASE_HIT_SCHEMA)
+    shards = sorted({md5_60_py(t) % num_shards for t in terms})
+    df = base_df if base_df is not None else (
+        spark.read.option("basePath", f"{index_path}/positional").parquet(
+            f"{index_path}/positional"
+        )
+    )
+    pruned = df.filter(
+        F.col("shard").isin(shards) & F.col("term").isin(sorted(terms))
+    )
+    return phrase_search(phrases, pruned, mode)
+
+
 def phrase_terms(phrase: str, mode: str = "simple") -> list[str]:
     if mode == "simple":
         return [t for t in _JAVA_WS_RE.split(phrase) if t]

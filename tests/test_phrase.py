@@ -89,3 +89,34 @@ def test_positional_repartitioned_input(spark, webtext, positional):
     got_b = {(r.doc_id, r.n_matches)
              for r in ph.phrase_search(q, pos_b).collect()}
     assert got_a == got_b and len(got_a) > 0
+
+
+def test_phrase_search_from_index(spark, webtext, positional, tmp_path):
+    """Written positional index: shard pruning + term pushdown, results
+    identical to the open-DF search."""
+    idx = str(tmp_path / "pos_idx")
+    ph.write_positional_index(positional, idx, num_shards=8)
+    qs = spark.createDataFrame([(0, "the of"), (1, "the the")],
+                               "query_id int, query string")
+    got_open = {(r.phrase_id, r.doc_id, r.n_matches)
+                for r in ph.phrase_search(qs, positional).collect()}
+    got_pruned = {(r.phrase_id, r.doc_id, r.n_matches)
+                  for r in ph.phrase_search_from_index(
+                      spark, idx, qs, num_shards=8).collect()}
+    assert got_open == got_pruned and len(got_pruned) > 0
+
+    import contextlib
+    import io
+
+    from cer_for_mti_spark.functions.hashing import md5_60_py
+    from pyspark.sql import functions as F2
+    base = spark.read.option("basePath", f"{idx}/positional").parquet(
+        f"{idx}/positional")
+    probe = base.filter(
+        F2.col("shard").isin([md5_60_py("the") % 8])
+        & F2.col("term").isin(["the"]))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "PushedFilters" in plan
