@@ -275,6 +275,25 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.2, "fr": 0.1, "es": 0.3, "zh": 0.25}
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-domain anti-domination cap: at most 10 docs per source,
+    deterministic rank by doc_id."""
+    return textstats.cap_per_group(
+        _docs(spark, sf_dir), "source", cap=10
+    ).select("doc_id", "source")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic data-mixing sample: per-language keep fractions via
+    the portable hash (no RNG state; exactly replayable in SQL)."""
+    return textstats.stratified_sample(
+        _docs(spark, sf_dir), SAMPLE_FRACTIONS
+    ).select("doc_id", "lang")
+
+
 def q_embedding_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5).select(
@@ -784,6 +803,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "domain_cap": q_domain_cap,
+        "stratified_sample": q_stratified_sample,
         "embedding_topk": q_embedding_topk,
         "ann_lsh": q_ann_lsh,
         "sessionize": q_sessionize,
@@ -1367,6 +1388,20 @@ p AS (SELECT doc_id,
 SELECT lang_pred, count(*)::BIGINT AS n_docs FROM p GROUP BY 1
 """,
         "fingerprint": f"SELECT doc_id, {fp_h} AS fingerprint FROM documents",
+        "domain_cap": """
+SELECT doc_id, source FROM documents
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10
+""",
+        "stratified_sample": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            + md5_60_sql("lang || ':' || doc_id::VARCHAR")
+            + " % 10000 < CASE "
+            + " ".join(
+                f"WHEN lang = '{k}' THEN {int(round(v * 10000))}"
+                for k, v in sorted(SAMPLE_FRACTIONS.items())
+            )
+            + " ELSE 0 END"
+        ),
         "embedding_topk": """
 WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id < 5),

@@ -140,3 +140,50 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn(
         "fingerprint", md5_60(F.concat_ws(" ", toks))
     )
+
+
+def cap_per_group(docs: DataFrame, group_col: str = "source", cap: int = 10,
+                  order_col: str = "doc_id") -> DataFrame:
+    """Per-domain document cap — the Common-Crawl anti-domination step: no
+    single domain/source may contribute more than `cap` documents to the
+    training mix. Deterministic: rows ranked by `order_col` within the
+    group. One shuffle on the group key; for a pathologically hot domain
+    (10^8 pages) the window sort of that one partition is the bound — at
+    that scale pre-filter with a per-domain count + hash-threshold
+    (the stratified_sample shape) instead of a rank."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def stratified_sample(docs: DataFrame, fractions: dict[str, float],
+                      strata_col: str = "lang", id_col: str = "doc_id",
+                      precision: int = 10000,
+                      default_fraction: float = 0.0) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling — the data-mixing step
+    of a training pipeline ("keep 50% of en, 20% of de, ..."). A doc is
+    kept iff md5_60(stratum ':' id) % precision < fraction*precision:
+    pure column expressions (no RNG state, no driver round-trip),
+    reproducible across engines, runs and partitionings, and exactly
+    replayable in the DuckDB oracle. No shuffle at all — a narrow filter."""
+    h = F.pmod(
+        md5_60(F.concat(F.col(strata_col), F.lit(":"),
+                        F.col(id_col).cast("string"))),
+        F.lit(precision),
+    )
+    thresh = None
+    for stratum, frac in sorted(fractions.items()):
+        t = F.when(F.col(strata_col) == stratum,
+                   F.lit(int(round(frac * precision))))
+        thresh = t if thresh is None else thresh.when(
+            F.col(strata_col) == stratum, F.lit(int(round(frac * precision)))
+        )
+    thresh = (thresh.otherwise(F.lit(int(round(default_fraction * precision))))
+              if thresh is not None
+              else F.lit(int(round(default_fraction * precision))))
+    return docs.filter(h < thresh)
