@@ -278,3 +278,35 @@ def parse_golden_file(ref_dir: str = REF,
 
 def reference_available(ref_dir: str = REF) -> bool:
     return os.path.isdir(f"{ref_dir}/data/ChEMFAM_corpus")
+
+
+def parse_annotation_set_file(tool: str, ref_dir: str = REF) -> dict[str, set]:
+    """Parse data/annotation_sets/<tool>_set.txt — the reference's S12
+    sink: one line per doc, 'pmid:{python set repr}', written AFTER
+    stop-word removal mutated the tool dict (run_tool_evaluation.py:
+    886-888). Set repr order is nondeterministic, so parity is per-doc SET
+    equality, not byte equality."""
+    import ast
+
+    out: dict[str, set] = {}
+    with open(f"{ref_dir}/data/annotation_sets/{tool}_set.txt",
+              encoding="utf8") as f:
+        for ln in f:
+            pmid, _, rest = ln.rstrip("\n").partition(":")
+            out[pmid] = set() if rest == "set()" else ast.literal_eval(rest)
+    return out
+
+
+def tool_doc_sets(spark: SparkSession, tool: str,
+                  ref_dir: str = REF) -> dict[str, set]:
+    """The engine's per-doc term sets for one tool, stop-words removed —
+    the relation the reference's annotation-set sink serializes."""
+    gold_docs = load_gold(spark, ref_dir).select("doc_id").distinct()
+    pred = load_tool(spark, tool, ref_dir)
+    pred = pred.join(gold_docs, "doc_id", "left_semi")
+    stop = set(analyze.load_stop_words(f"{ref_dir}/data/stop_words.txt"))
+    out: dict[str, set] = {}
+    for r in pred.collect():
+        if r["term"] not in stop:
+            out.setdefault(r["doc_id"], set()).add(r["term"])
+    return out

@@ -70,3 +70,38 @@ def test_bootstrap_tolerance(spark, tool):
         # quantiles must bracket sensibly: q34 <= mean <= q68 within noise
         assert got[f"{m}_q34"] <= got[f"{m}_mean"] + 0.01
         assert got[f"{m}_q68"] >= got[f"{m}_mean"] - 0.01
+
+
+@pytest.mark.parametrize("tool", rp.GOLDEN_TOOLS)
+def test_annotation_set_parity(spark, tool):
+    """S12 golden sink: the committed per-doc normalized term sets
+    (data/annotation_sets/<tool>_set.txt, written after stop-word
+    removal) are reproduced per-document for every tool — a per-doc-level
+    check of every parser, far finer than the aggregate P/R/F rows."""
+    expected = rp.parse_annotation_set_file(tool)
+    got = rp.tool_doc_sets(spark, tool)
+    mismatched = {
+        pmid for pmid in expected
+        if got.get(pmid, set()) != expected[pmid]
+    }
+    extra = set(got) - set(expected)
+    assert not mismatched and not extra, (
+        f"{tool}: {len(mismatched)} docs mismatch, {len(extra)} extra; "
+        f"sample: {sorted(mismatched)[:3]}"
+    )
+
+
+def test_nested_all_entities_parity(spark):
+    """The committed union-of-gold entity file (nested_all_entities.txt,
+    run_tool_evaluation.py:890-894) equals the engine's distinct gold
+    terms after stop-word removal."""
+    from cer_for_mti_spark.functions import analyze
+
+    with open(f"{rp.REF}/data/annotation_sets/nested_all_entities.txt",
+              encoding="utf8") as f:
+        expected = {ln.rstrip("\n") for ln in f if ln.rstrip("\n")}
+    stop = set(analyze.load_stop_words(f"{rp.REF}/data/stop_words.txt"))
+    gold = rp.load_gold(spark)
+    got = {r["term"] for r in gold.select("term").distinct().collect()
+           if r["term"] not in stop}
+    assert got == expected and len(got) > 1200
