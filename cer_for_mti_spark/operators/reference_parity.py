@@ -310,3 +310,60 @@ def tool_doc_sets(spark: SparkSession, tool: str,
         if r["term"] not in stop:
             out.setdefault(r["doc_id"], set()).add(r["term"])
     return out
+
+
+def parse_levenshtein_log(ref_dir: str = REF) -> list[tuple]:
+    """result_printouts/levenshtein_measurements.txt -> (tool, ann, pred,
+    dist, norm) rows. The reference logs the FIRST fuzzy (non-exact) match
+    its set-iteration happens to hit (run_tool_evaluation.py:527-531), so
+    WHICH row is logged is nondeterministic — but every logged row must be
+    a genuine fuzzy match under the engine's relation (one-direction
+    parity). Entities contain ', ' and ': ' so parsing is by field labels,
+    right to left."""
+    import re
+
+    rows = []
+    pat = re.compile(
+        r"^Tool: (.*?), Annotation: (.*), Prediction: (.*), "
+        r"levenshtein distance: (\d+), normalized lev: ([0-9.eE+-]+)$"
+    )
+    path = f"{ref_dir}/result_printouts/levenshtein_measurements.txt"
+    with open(path, encoding="utf8") as f:
+        for ln in f:
+            m = pat.match(ln.rstrip("\n"))
+            if m:
+                rows.append((m.group(1), m.group(2), m.group(3),
+                             int(m.group(4)), float(m.group(5))))
+    return rows
+
+
+def fuzzy_match_pairs_ref(spark: SparkSession, tool: str,
+                          ref_dir: str = REF) -> DataFrame:
+    """The engine's relation of loggable fuzzy matches for one tool:
+    (doc_id, p_term, g_term, dist) where dist/len(pred) < 1/3, dist > 0,
+    and the gold term is NOT itself predicted in that doc (the reference's
+    already-predicted guard). Superset of the committed log's rows for
+    that tool."""
+    gold = load_gold(spark, ref_dir).cache()
+    pred = load_tool(spark, tool, ref_dir)
+    pred = pred.join(gold.select("doc_id").distinct(), "doc_id", "left_semi")
+    stop = analyze.load_stop_words(f"{ref_dir}/data/stop_words.txt")
+    pred = pred.filter(~F.col("term").isin(stop))
+    g = gold.withColumnRenamed("term", "g_term")
+    p = pred.withColumnRenamed("term", "p_term")
+    g_flag = g.join(
+        p.select("doc_id", F.col("p_term").alias("g_term"))
+        .withColumn("_in_pred", F.lit(True)),
+        ["doc_id", "g_term"], "left",
+    ).withColumn("_in_pred", F.coalesce("_in_pred", F.lit(False)))
+    dist = F.levenshtein("p_term", "g_term")
+    return (
+        p.join(g_flag, "doc_id")
+        .filter(
+            (dist > 0)
+            & (dist / F.length("p_term") < 1.0 / 3.0)
+            & ~F.col("_in_pred")
+        )
+        .select("doc_id", "p_term", "g_term", dist.alias("dist"))
+        .dropDuplicates()
+    )

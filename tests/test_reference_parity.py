@@ -105,3 +105,25 @@ def test_nested_all_entities_parity(spark):
     got = {r["term"] for r in gold.select("term").distinct().collect()
            if r["term"] not in stop}
     assert got == expected and len(got) > 1200
+
+
+def test_levenshtein_log_soundness(spark):
+    """Every row of the committed levenshtein_measurements.txt (853 fuzzy
+    matches across 12 tools) must exist in the engine's fuzzy-match
+    relation with the same edit distance. (The reverse direction is
+    undefined: the reference logs only the first match its set-iteration
+    order happened to hit, which is nondeterministic.)"""
+    log = rp.parse_levenshtein_log()
+    assert len(log) > 800
+    by_tool: dict[str, list] = {}
+    for tool, ann, pred, dist, norm in log:
+        by_tool.setdefault(tool, []).append((ann, pred, dist, norm))
+    for tool, rows in sorted(by_tool.items()):
+        rel = {
+            (r["g_term"], r["p_term"], r["dist"])
+            for r in rp.fuzzy_match_pairs_ref(spark, tool).collect()
+        }
+        missing = [(a, p, d) for a, p, d, n in rows if (a, p, d) not in rel]
+        assert not missing, (tool, len(missing), missing[:3])
+        for a, p, d, n in rows:
+            assert abs(d / len(p) - n) < 1e-12, (tool, a, p, d, n)
