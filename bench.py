@@ -174,8 +174,6 @@ def _phase_queries() -> None:
     postings = spark.read.parquet(f"{idx}/postings").cache()
     ds = spark.read.parquet(f"{idx}/doc_stats").cache()
     n, avgdl = ib.corpus_stats(ds)
-    docs = spark.read.parquet(CORPUS)
-    dt = ib.build_doc_terms(docs, mode="simple").cache()
     postings.count()
 
     qrows = [
@@ -191,9 +189,9 @@ def _phase_queries() -> None:
     bm25.bm25_wand(queries, postings, n, avgdl, k=10).count()
     t_wand = time.time() - t0
     timings["bm25_wand_30q"] = round(t_wand, 3)
-    t0 = time.time()
-    bm25.bm25_naive(queries, dt, ds, n, avgdl, k=10).count()
-    timings["bm25_naive_30q"] = round(time.time() - t0, 3)
+    # the naive oracle twin runs LAST in this JVM (see below): caching the
+    # 12.5M-row doc_terms relation first pressures the heap and inflates
+    # the WAND timings by up to 2-3x — measured, not hypothetical
 
     # BM25 top-10 latency p50 (BASELINE.json metric): one job per query.
     # Two variants: warm (postings cached in memory — a serving-shaped
@@ -219,6 +217,15 @@ def _phase_queries() -> None:
     p50_cold = lat_cold[len(lat_cold) // 2]
     timings["bm25_wand_single_p50_warm"] = round(p50, 3)
     timings["bm25_wand_single_p50_pruned_cold"] = round(p50_cold, 3)
+
+    # naive oracle twin, measured warm (cache materialized outside the
+    # timed window) and after all compressed-path timings
+    docs = spark.read.parquet(CORPUS)
+    dt = ib.build_doc_terms(docs, mode="simple").cache()
+    dt.count()
+    t0 = time.time()
+    bm25.bm25_naive(queries, dt, ds, n, avgdl, k=10).count()
+    timings["bm25_naive_30q"] = round(time.time() - t0, 3)
     dt.unpersist(); ds.unpersist(); postings.unpersist()
 
     for name in QUERY_NAMES:
