@@ -698,6 +698,20 @@ def q_ann_ivf_kmeans(spark, sf_dir):
                                centroids=cents)
 
 
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (rows-only: codebooks are trained
+    driver-side on a hash-ordered sample — non-SQL-expressible; cluster
+    recall + determinism asserted in tests/test_similarity.py). Corpus
+    lives as m=8 one-byte codes; queries score via ADC lookup tables."""
+    emb = _read(spark, sf_dir, "embeddings")
+    books = similarity.pq_train(emb, m=8, ks=16, sample_size=512, n_iter=6)
+    codes = similarity.pq_encode(emb, books)
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return similarity.pq_topk(codes, books, qs, k=5)
+
+
 PHRASES = [(0, "table scan"), (1, "hash join"), (2, "the the"),
            (3, "key order sort"), (4, "absent nonexistent")]
 
@@ -825,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
+        "ann_pq": q_ann_pq,
         "phrase_search": q_phrase_search,
         "asof_join": q_asof_join,
         "reference_golden_metrics": q_reference_golden_metrics,

@@ -263,3 +263,138 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
         .select(F.col("qid").alias("q_id"), F.col("id").alias("vec_id"),
                 "cosine", "rank")
     )
+
+
+# --- Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search") — the 10^12-vector memory shape: corpus
+# vectors live as m one-byte codes (m*1 bytes vs dim*4), queries score
+# against codes via per-subspace lookup tables (ADC), never touching a
+# raw corpus vector at query time.
+
+def pq_train(emb: DataFrame, m: int = 8, ks: int = 16,
+             sample_size: int = 2048, n_iter: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> np.ndarray:
+    """Train per-subspace codebooks -> ndarray (m, ks, dim/m).
+
+    Training runs driver-side on a hash-ordered sample (the FAISS shape:
+    codebooks are tiny models fit on a bounded sample, then broadcast);
+    deterministic — sample order is the portable hash of the id, Lloyd
+    init is the first ks sample rows per subspace, numpy float64
+    throughout. Vectors are L2-normalized first so ADC inner product
+    approximates cosine."""
+    from cer_for_mti_spark.functions.hashing import md5_60
+
+    rows = (
+        emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+        .withColumn("_h", md5_60(F.col("id").cast("string")))
+        .orderBy("_h", "id")
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    dim = x.shape[1]
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    dsub = dim // m
+    books = np.empty((m, ks, dsub))
+    for j in range(m):
+        sub = x[:, j * dsub:(j + 1) * dsub]
+        cents = sub[:ks].copy()
+        for _ in range(n_iter):
+            # assign: nearest codeword by L2 (ties -> lowest index)
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ks):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def pq_encode(emb: DataFrame, codebooks: np.ndarray,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Corpus -> (id, codes binary(m)). One narrow mapInPandas pass,
+    numpy-vectorized argmin per subspace; codes are one byte per
+    subquantizer (ks <= 256). At 10^12 vectors this table is ~m TB where
+    the raw vectors are dim*4 TB — the compression that makes exhaustive
+    ADC scans feasible."""
+    m, ks, dsub = codebooks.shape
+    books = codebooks  # captured; Spark broadcasts the closure per task
+
+    def encode(batches):
+        for pdf in batches:
+            x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True),
+                               1e-12)
+            codes = np.empty((len(x), m), dtype=np.uint8)
+            for j in range(m):
+                sub = x[:, j * dsub:(j + 1) * dsub]
+                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "codes": pd.Series([c.tobytes() for c in codes],
+                                   dtype=object),
+            })
+
+    v = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    return v.mapInPandas(encode, "id long, codes binary")
+
+
+def pq_topk(codes_df: DataFrame, codebooks: np.ndarray, queries: DataFrame,
+            k: int = 5, q_id_col: str = "q_id",
+            q_vec_col: str = "q_vec") -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: per query, a (m, ks) LUT
+    of inner products between the normalized query subvector and each
+    codeword; a corpus code's score = sum over subspaces of
+    LUT[j][code[j]] ~= cosine. One mapInPandas scan of the codes emits a
+    per-batch top-k per query (numpy fancy indexing — no Python per row),
+    then one tiny window merges partitions. Deterministic: scores rounded
+    to 6, ties by ascending id."""
+    m, ks, dsub = codebooks.shape
+    q_rows = queries.select(F.col(q_id_col).alias("qid"),
+                            _as_double(q_vec_col).alias("q")).collect()
+    if not q_rows:
+        return queries.sparkSession.createDataFrame(
+            [], "q_id int, vec_id long, adc_score double, rank int")
+    qids = [int(r["qid"]) for r in q_rows]
+    qm = np.asarray([r["q"] for r in q_rows], dtype=np.float64)
+    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    # luts[qi, j, c] = <q_sub, codeword>
+    luts = np.einsum("qjd,jcd->qjc",
+                     qm.reshape(len(qm), m, dsub), codebooks)
+
+    def scan(batches):
+        for pdf in batches:
+            codes = np.stack(
+                [np.frombuffer(bytes(b), dtype=np.uint8)
+                 for b in pdf["codes"]]
+            )  # (n, m)
+            ids = pdf["id"].to_numpy()
+            out = {"q_id": [], "vec_id": [], "adc_score": []}
+            for qi, qid in enumerate(qids):
+                # scores[n] = sum_j luts[qi, j, codes[:, j]]
+                scores = np.round(
+                    luts[qi][np.arange(m)[None, :], codes].sum(axis=1), 6
+                )
+                if len(scores) > k:
+                    kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+                    mask = scores >= kth
+                else:
+                    mask = np.ones(len(scores), dtype=bool)
+                out["q_id"].extend([qid] * int(mask.sum()))
+                out["vec_id"].extend(ids[mask].tolist())
+                out["adc_score"].extend(scores[mask].tolist())
+            yield pd.DataFrame(out)
+
+    cands = codes_df.select("id", "codes").mapInPandas(
+        scan, "q_id int, vec_id long, adc_score double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("adc_score"),
+                                           F.asc("vec_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "adc_score", "rank")
+    )

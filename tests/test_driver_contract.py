@@ -91,7 +91,7 @@ def test_all_queries_have_entries():
     no_oracle = qs - os_
     # non-SQL-expressible paths (driver records rows-only checks)
     allowed = {
-        "ann_lsh", "ann_ivf_kmeans", "multimodal_features",
+        "ann_lsh", "ann_ivf_kmeans", "ann_pq", "multimodal_features",
         "bootstrap_stats", "reference_golden_metrics",
     }
     assert no_oracle <= allowed, f"undocumented oracle gaps: {no_oracle - allowed}"

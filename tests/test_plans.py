@@ -32,7 +32,7 @@ ALLOWED_NESTED_LOOP = {
 # driver-side-iterative or reference-IO-heavy entries: plan built by
 # loops / external files, not a single DataFrame — checked elsewhere
 SKIP = {"reference_golden_metrics", "bootstrap_stats", "multimodal_features",
-        "ann_ivf_kmeans"}
+        "ann_ivf_kmeans", "ann_pq"}
 
 NAMES = sorted(set(se.queries()) - SKIP)
 

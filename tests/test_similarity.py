@@ -131,3 +131,39 @@ def test_ivf_kmeans_beats_first_n(spark):
     # balanced cells: k-means' biggest cell is a fraction of the
     # degenerate init's (which swallows ~the whole corpus)
     assert max_cell(cents) <= 0.5 * max_cell(None)
+
+
+def test_pq_adc_recall_and_determinism(spark):
+    """Product quantization: codebooks train deterministically on the
+    hash-ordered sample; ADC top-k over 1-byte-per-subspace codes reaches
+    high recall vs exact cosine on clustered data."""
+    emb2 = _clustered_emb(spark)
+    books = similarity.pq_train(emb2, m=4, ks=16, sample_size=200, n_iter=8)
+    books2 = similarity.pq_train(emb2, m=4, ks=16, sample_size=200, n_iter=8)
+    import numpy as np
+
+    assert np.array_equal(books, books2)
+    assert books.shape == (4, 16, 4)
+
+    codes = similarity.pq_encode(emb2, books).cache()
+    assert codes.count() == emb2.count()
+    row = codes.first()
+    assert len(bytes(row["codes"])) == 4
+
+    qs2 = emb2.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = similarity.pq_topk(codes, books, qs2, k=5)
+    rows = got.collect()
+    # PQ quantizes every point of a tight cluster to the SAME code, so
+    # within-cluster order is tie-broken by id — exact-top-5 recall is
+    # undefined at this codebook size. The PQ guarantee is cluster-level:
+    # every retrieved neighbor comes from the query's cluster
+    # (cluster = vec_id // 25 by construction of _clustered_emb).
+    same_cluster = sum(1 for r in rows if r.vec_id // 25 == r.q_id // 25)
+    assert same_cluster / len(rows) >= 0.95, same_cluster / len(rows)
+    assert len(rows) == qs2.count() * 5
+    # determinism of the scan + merge
+    again = {(r.q_id, r.vec_id, r.rank) for r in
+             similarity.pq_topk(codes, books, qs2, k=5).collect()}
+    assert {(r.q_id, r.vec_id, r.rank) for r in got.collect()} == again
