@@ -398,3 +398,71 @@ def pq_topk(codes_df: DataFrame, codebooks: np.ndarray, queries: DataFrame,
         .filter(F.col("rank") <= k)
         .select("q_id", "vec_id", "adc_score", "rank")
     )
+
+
+def ivf_pq_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+                n_centroids: int = 8, nprobe: int = 2, m: int = 8,
+                ks: int = 16, sample_size: int = 2048,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+                centroids: DataFrame | None = None) -> DataFrame:
+    """IVF-PQ: coarse-quantize into cells (kmeans_centroids), store each
+    cell's vectors as PQ codes, probe each query's nprobe cells and ADC-
+    score only those codes — the full 10^12-vector serving shape: the scan
+    touches nprobe/n_centroids of the corpus AND reads m bytes per vector.
+    At table scale the codes table is written partitionBy(cell) so the
+    probe list becomes partition pruning (same contract as the postings
+    shards)."""
+    if centroids is None:
+        centroids = kmeans_centroids(emb, n_centroids=n_centroids,
+                                     id_col=id_col, vec_col=vec_col)
+    books = pq_train(emb, m=m, ks=ks, sample_size=sample_size,
+                     id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(
+        assigned.select(F.col("id").alias(id_col),
+                        F.col("v").alias(vec_col)),
+        books, id_col=id_col, vec_col=vec_col,
+    ).join(assigned.select("id", "cell"), "id")
+
+    qs = queries.select(
+        F.col(q_id_col).alias("qid"), _as_double(q_vec_col).alias("q")
+    ).withColumn("qnorm", _norm(F.col("q")))
+    cents = centroids.select(
+        F.col("c_id").alias("cid"), _as_double("c_vec").alias("cv")
+    ).withColumn("cnorm", _norm(F.col("cv")))
+    qdot = F.aggregate(
+        F.zip_with("q", "cv", lambda x, y: x * y), F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    qcells = (
+        qs.join(F.broadcast(cents))
+        .withColumn("csim", F.round(qdot / (F.col("qnorm") * F.col("cnorm")), 6))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("cid"))
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", F.col("cid").alias("cell"))
+    )
+    probe_cells = {
+        int(r["cell"]): None for r in qcells.select("cell").distinct().collect()
+    }
+    # per-query probe map drives a semi-join prune of the codes scan;
+    # scoring itself is the plain PQ ADC scan on the pruned relation,
+    # restricted afterwards to each query's own probed cells
+    pruned = codes.filter(F.col("cell").isin(list(probe_cells)))
+    scored = pq_topk(pruned, books, queries, k=n_centroids * k,
+                     q_id_col=q_id_col, q_vec_col=q_vec_col)
+    cell_of = codes.select(F.col("id").alias("vec_id"), "cell")
+    own = scored.join(cell_of, "vec_id").join(
+        qcells.withColumnRenamed("qid", "q_id"), ["q_id", "cell"], "left_semi"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("adc_score"), F.asc("vec_id"))
+    return (
+        own.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "adc_score", "rank")
+    )

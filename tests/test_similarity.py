@@ -167,3 +167,20 @@ def test_pq_adc_recall_and_determinism(spark):
     again = {(r.q_id, r.vec_id, r.rank) for r in
              similarity.pq_topk(codes, books, qs2, k=5).collect()}
     assert {(r.q_id, r.vec_id, r.rank) for r in got.collect()} == again
+
+
+def test_ivf_pq_cluster_recall(spark):
+    """IVF-PQ composition: probe-pruned ADC scan still retrieves from the
+    query's own cluster, and returns exactly k rows per query."""
+    emb2 = _clustered_emb(spark)
+    qs2 = emb2.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = similarity.ivf_pq_topk(emb2, qs2, k=5, n_centroids=8, nprobe=2,
+                                 m=4, ks=16, sample_size=200).collect()
+    same_cluster = sum(1 for r in got if r.vec_id // 25 == r.q_id // 25)
+    assert same_cluster / len(got) >= 0.9, same_cluster / len(got)
+    per_q = {}
+    for r in got:
+        per_q[r.q_id] = per_q.get(r.q_id, 0) + 1
+    assert all(v == 5 for v in per_q.values())
