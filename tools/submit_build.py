@@ -1,0 +1,68 @@
+"""spark-submit entry point: build the sharded inverted index.
+
+    zip -r /tmp/cer_for_mti_spark.zip cer_for_mti_spark
+    spark-submit --py-files /tmp/cer_for_mti_spark.zip \
+        tools/submit_build.py --input <docs parquet> --output <index dir> \
+        [--mode chem] [--plan spimi] [--shards 32] [--runs-index]
+
+Reads the documents table (doc_id, text, ...), builds doc_stats +
+postings with the chosen plan, writes the sharded index (and optionally
+the run-level index for bm25_wand_sharded_from_index), prints one JSON
+line with corpus stats + timings. The same script serves both cluster
+sizes of the north_rule's N-vs-4N run: the executor count comes from
+spark-submit flags, not from this code.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--mode", default="simple",
+                    choices=["simple", "chem", "chem+greek"])
+    ap.add_argument("--plan", default="spimi",
+                    choices=["spimi", "narrow", "shuffle"])
+    ap.add_argument("--shards", type=int, default=32)
+    ap.add_argument("--runs-index", action="store_true",
+                    help="also write the run-level index (bucketed, for "
+                         "doc-range-sharded query scoring)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from cer_for_mti_spark.operators import index_build as ib
+
+    spark = SparkSession.builder.appName("cer_index_build").getOrCreate()
+    docs = spark.read.parquet(args.input)
+    t0 = time.time()
+    postings, doc_stats, n, avgdl = ib.build_index(
+        docs, mode=args.mode, plan=args.plan
+    )
+    ib.write_index(postings, doc_stats, args.output, num_shards=args.shards)
+    extra = {}
+    if args.runs_index:
+        dt = (ib.build_doc_terms_narrow(docs, mode=args.mode)
+              if args.plan != "shuffle"
+              else ib.build_doc_terms_with_dl(docs, mode=args.mode))
+        runs = ib.build_posting_runs(dt, doc_stats, avgdl, n_docs=n)
+        ib.write_runs_index(runs, doc_stats, args.output + "_runs",
+                            num_shards=args.shards)
+        extra["runs_index"] = args.output + "_runs"
+    elapsed = time.time() - t0
+    print(json.dumps({
+        "n_docs": n, "avgdl": round(avgdl, 4),
+        "elapsed_sec": round(elapsed, 3),
+        "docs_per_sec": round(n / elapsed, 1),
+        "index": args.output, **extra,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
