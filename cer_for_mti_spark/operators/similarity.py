@@ -292,6 +292,10 @@ def pq_train(emb: DataFrame, m: int = 8, ks: int = 16,
         .collect()
     )
     x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    if len(x) < ks:
+        raise ValueError(
+            f"pq_train needs >= ks={ks} sample vectors, got {len(x)}"
+        )
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     dim = x.shape[1]
     assert dim % m == 0, f"dim {dim} not divisible by m {m}"
