@@ -120,3 +120,40 @@ def test_dup_components_chain(spark):
            for r in dedup.dup_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20}
+
+
+def test_dup_components_matches_union_find(spark):
+    """Property check: min-label propagation equals a driver-side
+    union-find closure on a pseudo-random (seeded) edge set with chains,
+    stars, and cycles."""
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(60))
+    edges = sorted({
+        (min(a, b), max(a, b))
+        for a, b in (
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(45)
+        )
+        if a != b
+    })
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    touched = {n for e in edges for n in e}
+    expected = {}
+    for n in touched:
+        root = find(n)
+        expected[n] = min(m for m in touched if find(m) == root)
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.doc_id: r.component
+           for r in dedup.dup_components(pairs).collect()}
+    assert got == expected

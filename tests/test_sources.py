@@ -156,3 +156,37 @@ def test_parse_cdi_tsv(spark):
         ("123", "A title An abstract body"),
         ("456", "Other Text here"),
     }
+
+
+def test_merge_sentencepiece_property(spark):
+    """Property: chunking arbitrary words into ▁-led piece streams and
+    merging recovers the exact word sequence (pseudo-random seeded words
+    incl. unicode and punctuation)."""
+    import random
+
+    rng = random.Random(11)
+    alphabet = "abcXYZ0189-()α▯é"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+        for _ in range(300)
+    ]
+    rows, pos = [], 0
+    for w in words:
+        cut = rng.randint(1, len(w))
+        chunks = [w[:cut]]
+        i = cut
+        while i < len(w):
+            step = rng.randint(1, 4)
+            chunks.append(w[i:i + step])
+            i += step
+        rows.append(("doc", pos, "▁" + chunks[0], "O"))
+        pos += 1
+        for c in chunks[1:]:
+            rows.append(("doc", pos, c, "O"))
+            pos += 1
+    tokens = spark.createDataFrame(
+        rows, "pmid string, pos long, token string, label string"
+    )
+    got = [r.token for r in
+           formats.merge_sentencepiece(tokens).orderBy("pos").collect()]
+    assert got == words

@@ -63,3 +63,46 @@ def test_frame_sampling(spark):
     # only video rows produce frames
     vids = {r.media_id for r in media.filter("media_type = 'video'").collect()}
     assert {r.media_id for r in rows} <= vids
+
+
+def test_stratified_sample_properties(spark):
+    """Hash-Bernoulli sampling: deterministic, a subset of the input,
+    per-stratum keep rate within binomial noise of the target, and
+    monotone (a higher fraction keeps a superset)."""
+    from cer_for_mti_spark.operators import textstats
+
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(3000)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    fr = {"en": 0.5, "de": 0.2}
+    kept = textstats.stratified_sample(docs, fr)
+    got = {(r.doc_id, r.lang) for r in kept.collect()}
+    again = {(r.doc_id, r.lang)
+             for r in textstats.stratified_sample(docs, fr).collect()}
+    assert got == again
+    by_lang = {}
+    for _, lang in got:
+        by_lang[lang] = by_lang.get(lang, 0) + 1
+    assert "fr" not in by_lang                    # default fraction 0
+    assert abs(by_lang["en"] / 1000 - 0.5) < 0.06  # ~3 sigma
+    assert abs(by_lang["de"] / 1000 - 0.2) < 0.05
+    # monotone: raising en's fraction only adds docs
+    more = {(r.doc_id, r.lang) for r in textstats.stratified_sample(
+        docs, {"en": 0.8, "de": 0.2}).collect()}
+    assert {g for g in got if g[1] == "en"} <= {m for m in more if m[1] == "en"}
+
+
+def test_cap_per_group_properties(spark):
+    """Cap keeps exactly min(cap, group size) rows per group, the
+    LOWEST-ordered ones."""
+    from cer_for_mti_spark.operators import textstats
+
+    rows = [(i, f"d{i % 7}") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = textstats.cap_per_group(docs, "source", cap=5)
+    by_src = {}
+    for r in kept.collect():
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    assert all(len(v) == 5 for v in by_src.values())
+    for src, ids in by_src.items():
+        all_ids = sorted(i for i, s in rows if s == src)
+        assert sorted(ids) == all_ids[:5]
