@@ -294,6 +294,12 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_winnow_fingerprint(spark, sf_dir):
+    """Winnowing fingerprints (rolling k-shingle hash, window-min, k=4
+    w=5): any shared token run >= w+k-1 guarantees a shared fingerprint."""
+    return textstats.winnow_fingerprints(_docs(spark, sf_dir), k=4, w=5)
+
+
 def q_embedding_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5).select(
@@ -817,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "winnow_fingerprint": q_winnow_fingerprint,
         "domain_cap": q_domain_cap,
         "stratified_sample": q_stratified_sample,
         "embedding_topk": q_embedding_topk,
@@ -1403,6 +1410,22 @@ p AS (SELECT doc_id,
 SELECT lang_pred, count(*)::BIGINT AS n_docs FROM p GROUP BY 1
 """,
         "fingerprint": f"SELECT doc_id, {fp_h} AS fingerprint FROM documents",
+        "winnow_fingerprint": f"""
+WITH t AS (SELECT doc_id, list_filter({_T}, x -> x <> '') AS a
+           FROM documents),
+p AS (SELECT doc_id, a, unnest(range(0, len(a) - 4 + 1)) AS pos
+      FROM t WHERE len(a) >= 4),
+sh AS (SELECT doc_id, pos,
+              {md5_60_sql("array_to_string(a[pos+1 : pos+4], ' ')")} AS h
+       FROM p),
+win AS (SELECT doc_id,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp,
+               count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS c
+        FROM sh)
+SELECT DISTINCT doc_id, fp AS fingerprint FROM win WHERE c = 5
+""",
         "domain_cap": """
 SELECT doc_id, source FROM documents
 QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10

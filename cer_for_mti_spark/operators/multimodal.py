@@ -134,3 +134,38 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             )
 
     return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def resize_images(media: DataFrame, target_w: int = 64,
+                  target_h: int = 64, strict: bool = False) -> DataFrame:
+    """Image-resize plumbing: one row per image with the target geometry
+    and a resized payload. The PIXEL work is the stub (deterministic
+    bytes keyed on payload+geometry — REPLACE with PIL.Image.resize where
+    the lib exists); the Spark-side contract is real: schema, Arrow batch
+    iteration, output size metadata, non-image rows filtered."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "image decode/resize requires PIL — not in this "
+                    "container; wire Image.open(...).resize((w, h)) here"
+                )
+            payloads = [
+                _fake_feature(
+                    bytes(p) + target_w.to_bytes(2, "little")
+                    + target_h.to_bytes(2, "little"),
+                    dim=target_w * target_h // 16,
+                ).tobytes()
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": np.int32(target_w),
+                "height": np.int32(target_h),
+                "payload": pd.Series(payloads, dtype=object),
+            })
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        run, "media_id long, width int, height int, payload binary"
+    )

@@ -187,3 +187,37 @@ def stratified_sample(docs: DataFrame, fractions: dict[str, float],
               if thresh is not None
               else F.lit(int(round(default_fraction * precision))))
     return docs.filter(h < thresh)
+
+
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
+                        k: int = 4, w: int = 5) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003):
+    rolling hash over k-token shingles, keep the MINIMUM hash of every
+    w-length window, distinct per doc -> (doc_id, fingerprint). The
+    standard local-fingerprint scheme for plagiarism/near-dup detection:
+    guarantees any shared run of >= w+k-1 tokens shares a fingerprint.
+
+    Fully declarative (shingle transform + portable hash + sliding-window
+    min + distinct) so the DuckDB oracle replays it exactly; one narrow
+    pass + the final distinct."""
+    from pyspark.sql import Window
+
+    toks = simple_tokens_col(text_col)
+    d = docs.select("doc_id", toks.alias("_t"))
+    n = F.size("_t")
+    idx = F.sequence(F.lit(0), n - k)
+    sh = F.transform(
+        idx, lambda i: md5_60(F.concat_ws(" ", F.slice(F.col("_t"), i + 1, k)))
+    )
+    hashed = (
+        d.filter(n >= k)
+        .select("doc_id", F.posexplode(sh).alias("pos", "h"))
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        hashed.withColumn("_n", F.count(F.lit(1)).over(win))
+        .withColumn("fp", F.min("h").over(win))
+        .filter(F.col("_n") == w)  # only complete windows
+        .select("doc_id", F.col("fp").alias("fingerprint"))
+        .dropDuplicates()
+    )

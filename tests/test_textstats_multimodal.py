@@ -106,3 +106,42 @@ def test_cap_per_group_properties(spark):
     for src, ids in by_src.items():
         all_ids = sorted(i for i, s in rows if s == src)
         assert sorted(ids) == all_ids[:5]
+
+
+def test_winnow_fingerprints_shared_run(spark):
+    """Winnowing guarantee: docs sharing a token run of >= w+k-1 tokens
+    share at least one fingerprint; disjoint docs share none."""
+    from cer_for_mti_spark.operators import textstats
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "one two three " + shared + " tail1 tail2"),
+        (2, "uno dos tres cuatro " + shared),
+        (3, "completely different words everywhere nothing matches here at all ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {}
+    for r in textstats.winnow_fingerprints(docs, k=4, w=5).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert fps[1] & fps[2]
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_resize_images_plumbing(spark):
+    from cer_for_mti_spark.operators import multimodal
+
+    media = multimodal.synthetic_media(spark, n=30, seed=42)
+    out = multimodal.resize_images(media, target_w=32, target_h=16)
+    rows = out.collect()
+    n_images = media.filter("media_type = 'image'").count()
+    assert len(rows) == n_images and n_images > 0
+    assert all(r.width == 32 and r.height == 16 for r in rows)
+    assert all(len(bytes(r.payload)) == 32 * 16 // 16 * 4 for r in rows)
+    # deterministic
+    again = {(r.media_id, bytes(r.payload)) for r in
+             multimodal.resize_images(media, 32, 16).collect()}
+    assert {(r.media_id, bytes(r.payload)) for r in rows} == again
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        multimodal.resize_images(media, 32, 16, strict=True).collect()
