@@ -733,6 +733,19 @@ def q_phrase_search(spark, sf_dir):
     return ph.phrase_search(qs, positional)
 
 
+def q_phrase_search_sharded(spark, sf_dir):
+    """Doc-range-sharded phrase match: positional RUNS keyed by the
+    cross-term-consistent bucket (doc_id // width), matched per
+    (phrase, bucket) so a stop-word phrase ("the the" is in this very
+    query set) never co-locates its full postings in one task — the
+    bounded-task-bytes scale path, result-identical to phrase_search."""
+    from cer_for_mti_spark.operators import phrase as ph
+
+    runs = ph.build_positional_runs(_docs(spark, sf_dir), salt=8)
+    qs = spark.createDataFrame(PHRASES, "query_id int, query string")
+    return ph.phrase_search_sharded(qs, runs)
+
+
 def _phrase_sql() -> str:
     joins = []
     for pid, p in PHRASES:
@@ -848,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "ann_pq": q_ann_pq,
         "phrase_search": q_phrase_search,
+        "phrase_search_sharded": q_phrase_search_sharded,
         "asof_join": q_asof_join,
         "reference_golden_metrics": q_reference_golden_metrics,
     }
@@ -1283,6 +1297,7 @@ FROM documents
 """,
         "ann_ivf": _ann_ivf_sql(),
         "phrase_search": _phrase_sql(),
+        "phrase_search_sharded": _phrase_sql(),
         "asof_join": f"""
 WITH r AS (SELECT user_id, ts, max(value) AS state_value FROM events
            WHERE {md5_60_sql("event_id::VARCHAR")} % 5 = 0 GROUP BY 1, 2)

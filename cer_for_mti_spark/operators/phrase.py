@@ -44,6 +44,10 @@ POSITIONAL_RUN_SCHEMA = (
     "term string, first_id long, last_id long, df long, "
     "doc_ids binary, tfs binary, positions binary"
 )
+POSITIONAL_RUN_BUCKET_SCHEMA = (
+    "term string, bucket long, first_id long, last_id long, df long, "
+    "doc_ids binary, tfs binary, positions binary"
+)
 POSITIONAL_SCHEMA = (
     "term string, df long, doc_ids binary, tfs binary, positions binary"
 )
@@ -262,79 +266,300 @@ def phrase_terms(phrase: str, mode: str = "simple") -> list[str]:
     return chem_tokenize_str(phrase)
 
 
+_EMPTY_HITS = {
+    "phrase_id": pd.Series([], dtype="int64"),
+    "doc_id": pd.Series([], dtype="int64"),
+    "n_matches": pd.Series([], dtype="int64"),
+}
+
+
+def _match_adjacency(qid: int, need: int, decoded: dict) -> pd.DataFrame:
+    """Adjacency core shared by the merged and sharded phrase paths.
+    decoded: {term_idx: (ids, tfs, starts, ends, pos)} — one decoded
+    posting per phrase position (already doc-sorted, unique doc ids)."""
+    if len(decoded) < need:
+        return pd.DataFrame(_EMPTY_HITS)
+    # candidate docs = intersection of all doc lists
+    docs_common = decoded[0][0]
+    for i in range(1, need):
+        docs_common = np.intersect1d(docs_common, decoded[i][0],
+                                     assume_unique=True)
+    if not len(docs_common):
+        return pd.DataFrame(_EMPTY_HITS)
+    # fully vectorized adjacency: pack (dense doc rank, shifted pos)
+    # into one int64 key per occurrence and intersect the key sets
+    # across the phrase's terms — no per-doc Python loop, so stop-word
+    # phrases ("the the") cost O(sum posting sizes · log), not
+    # O(candidate docs) Python iterations. pos < 2^31 and
+    # rank < 2^30 keep the packing exact.
+    SHIFT = np.int64(1) << 33
+    OFFSET = np.int64(1) << 32
+    live = None
+    for i in range(need):
+        ids, tfs, starts, ends, pos = decoded[i]
+        sel = np.searchsorted(ids, docs_common)
+        lens = ends[sel] - starts[sel]
+        prefix = np.cumsum(lens) - lens
+        take = np.arange(int(lens.sum())) + np.repeat(
+            starts[sel] - prefix, lens
+        )
+        ranks = np.repeat(np.arange(len(docs_common), dtype=np.int64),
+                          lens)
+        keys = ranks * SHIFT + (pos[take] - i) + OFFSET
+        live = keys if live is None else np.intersect1d(
+            live, keys, assume_unique=True
+        )
+    hit_ranks, counts = np.unique(live // SHIFT, return_counts=True)
+    return pd.DataFrame({
+        "phrase_id": np.full(len(hit_ranks), qid, dtype=np.int64),
+        "doc_id": docs_common[hit_ranks],
+        "n_matches": counts.astype(np.int64),
+    })
+
+
+def _phrase_want(phrases: DataFrame, mode: str):
+    """phrases -> ((query_id, term_idx, term) rows, {qid: n_terms})."""
+    pairs = []
+    for r in phrases.collect():
+        for i, t in enumerate(phrase_terms(r["query"], mode)):
+            pairs.append((int(r["query_id"]), i, t))
+    n_terms: dict[int, int] = {}
+    for qid, i, _ in pairs:
+        n_terms[qid] = max(n_terms.get(qid, 0), i + 1)
+    return pairs, n_terms
+
+
 def phrase_search(phrases: DataFrame, positional: DataFrame,
                   mode: str = "simple") -> DataFrame:
     """(phrase_id, phrase) x positional postings -> (phrase_id, doc_id,
     n_matches). Terms are broadcast-pruned; each phrase's postings are
     co-located with applyInPandas; adjacency is verified with numpy set
-    intersections (positions of term i+1 shifted by -(i+1))."""
-    rows = phrases.collect()
-    pairs = []
-    for r in rows:
-        for i, t in enumerate(phrase_terms(r["query"], mode)):
-            pairs.append((int(r["query_id"]), i, t))
+    intersections (positions of term i+1 shifted by -(i+1)).
+
+    Scale caveat: groupBy(query_id) fetches ALL of a phrase's posting
+    bytes into ONE task — fine while postings fit a task, but a
+    stop-word phrase at 10^12 docs does not. phrase_search_sharded is
+    the bounded-task-bytes variant (doc-range buckets, same results)."""
+    pairs, n_terms = _phrase_want(phrases, mode)
     if not pairs:
         return phrases.sparkSession.createDataFrame([], PHRASE_HIT_SCHEMA)
     spark = phrases.sparkSession
     want = spark.createDataFrame(pairs, "query_id int, term_idx int, term string")
-    n_terms = {qid: 0 for qid, _, _ in pairs}
-    for qid, i, _ in pairs:
-        n_terms[qid] = max(n_terms[qid], i + 1)
     fetched = positional.join(F.broadcast(want), "term")
 
     def match(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
-        need = n_terms[qid]
         # a term may appear at several indices in one phrase
         by_idx: dict[int, pd.Series] = {}
         for j in range(len(pdf)):
             row = pdf.iloc[j]
             by_idx.setdefault(int(row["term_idx"]), row)
-        if len(by_idx) < need:
-            return pd.DataFrame({"phrase_id": [], "doc_id": [],
-                                 "n_matches": []}).astype(
-                {"phrase_id": "int64", "doc_id": "int64",
-                 "n_matches": "int64"})
         decoded = {i: _decode_positional(r) for i, r in by_idx.items()}
-        # candidate docs = intersection of all doc lists
-        docs_common = decoded[0][0]
-        for i in range(1, need):
-            docs_common = np.intersect1d(docs_common, decoded[i][0],
-                                         assume_unique=True)
-        if not len(docs_common):
-            return pd.DataFrame({
-                "phrase_id": pd.Series([], dtype="int64"),
-                "doc_id": pd.Series([], dtype="int64"),
-                "n_matches": pd.Series([], dtype="int64"),
-            })
-        # fully vectorized adjacency: pack (dense doc rank, shifted pos)
-        # into one int64 key per occurrence and intersect the key sets
-        # across the phrase's terms — no per-doc Python loop, so stop-word
-        # phrases ("the the") cost O(sum posting sizes · log), not
-        # O(candidate docs) Python iterations. pos < 2^31 and
-        # rank < 2^30 keep the packing exact.
-        SHIFT = np.int64(1) << 33
-        OFFSET = np.int64(1) << 32
-        live = None
-        for i in range(need):
-            ids, tfs, starts, ends, pos = decoded[i]
-            sel = np.searchsorted(ids, docs_common)
-            lens = ends[sel] - starts[sel]
-            prefix = np.cumsum(lens) - lens
-            take = np.arange(int(lens.sum())) + np.repeat(
-                starts[sel] - prefix, lens
-            )
-            ranks = np.repeat(np.arange(len(docs_common), dtype=np.int64),
-                              lens)
-            keys = ranks * SHIFT + (pos[take] - i) + OFFSET
-            live = keys if live is None else np.intersect1d(
-                live, keys, assume_unique=True
-            )
-        hit_ranks, counts = np.unique(live // SHIFT, return_counts=True)
-        return pd.DataFrame({
-            "phrase_id": np.full(len(hit_ranks), qid, dtype=np.int64),
-            "doc_id": docs_common[hit_ranks],
-            "n_matches": counts.astype(np.int64),
-        })
+        return _match_adjacency(qid, n_terms[qid], decoded)
 
     return fetched.groupBy("query_id").applyInPandas(match, PHRASE_HIT_SCHEMA)
+
+
+def build_positional_runs(docs: DataFrame, mode: str = "simple",
+                          text_col: str = "text",
+                          n_docs: int | None = None,
+                          salt: int | None = None,
+                          max_postings_in_memory: int = 20_000_000,
+                          ) -> DataFrame:
+    """Single-pass SPIMI positional build that keeps runs keyed by
+    doc-id RANGE bucket instead of merging per term — the storage shape
+    for bounded-task-bytes phrase search (phrase_search_sharded).
+
+    The bucket contract is the one build_posting_runs establishes
+    (index_build.py:370): bucket = doc_id // width with width a pure
+    function of (n_docs, salt), so the bucket is CONSISTENT ACROSS TERMS
+    — every positional posting of doc d, whatever the term, lands in
+    bucket d // width. Positions are doc-local (token offsets within the
+    doc), so bucket-local adjacency intersection is EXACT: a phrase hit
+    in doc d is computable entirely inside d's bucket.
+
+    A (term, bucket) pair may carry several runs (one per input split
+    that contributed docs to the bucket); the sharded matcher merges the
+    decoded arrays per term — no pre-merge shuffle of the whole index is
+    needed, only query terms are ever decoded."""
+    from cer_for_mti_spark.operators.index_build import salt_for
+
+    if n_docs is None:
+        n_docs = int(docs.agg(F.max("doc_id")).collect()[0][0]) + 1
+    if salt is None:
+        salt = salt_for(n_docs)
+    width = max(1, (int(n_docs) + salt - 1) // salt)
+
+    if mode == "simple":
+        def toks(s: str) -> list[str]:
+            return [t for t in _JAVA_WS_RE.split(s) if t] if s else []
+    elif mode in ("chem", "chem+greek"):
+        from cer_for_mti_spark.functions.analyze import chem_tokenize_str
+
+        def toks(s: str) -> list[str]:
+            return chem_tokenize_str(s) if s else []
+    else:
+        raise ValueError(f"unknown tokenize mode {mode!r}")
+
+    def part(batches):
+        # acc key = (term, bucket): a doc's positions go wholly to its
+        # own bucket (the doc is one input row, processed atomically
+        # between flush checks)
+        acc: dict[tuple[str, int], list] = defaultdict(list)
+        n_post = 0
+
+        def flush():
+            out = {
+                "term": [], "bucket": [], "first_id": [], "last_id": [],
+                "df": [], "doc_ids": [], "tfs": [], "positions": [],
+            }
+            for (term, bucket), entries in acc.items():
+                entries.sort(key=lambda e: e[0])
+                ids = np.asarray([e[0] for e in entries], dtype=np.int64)
+                tfs = np.asarray([len(e[1]) for e in entries],
+                                 dtype=np.uint64)
+                pos_stream = np.concatenate(
+                    [np.asarray(e[1], dtype=np.int64) for e in entries]
+                )
+                gaps = pos_stream.copy()
+                start = 0
+                for n_p in tfs:
+                    n_p = int(n_p)
+                    gaps[start + 1:start + n_p] = (
+                        pos_stream[start + 1:start + n_p]
+                        - pos_stream[start:start + n_p - 1]
+                    )
+                    start += n_p
+                out["term"].append(term)
+                out["bucket"].append(bucket)
+                out["first_id"].append(int(ids[0]))
+                out["last_id"].append(int(ids[-1]))
+                out["df"].append(len(ids))
+                out["doc_ids"].append(delta_encode(ids))
+                out["tfs"].append(varint_encode(tfs))
+                out["positions"].append(varint_encode(gaps.astype(np.uint64)))
+            acc.clear()
+            return _object_df(out)
+
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                doc_id = int(doc_id)
+                bucket = doc_id // width
+                per_term: dict[str, list[int]] = defaultdict(list)
+                for i, t in enumerate(toks(text)):
+                    per_term[t].append(i)
+                for t, ps in per_term.items():
+                    acc[(t, bucket)].append((doc_id, ps))
+                n_post += len(per_term)
+                if n_post >= max_postings_in_memory:
+                    yield flush()
+                    n_post = 0
+        yield flush()
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        part, POSITIONAL_RUN_BUCKET_SCHEMA
+    )
+
+
+def _decode_rows_merged(rows: list) -> tuple:
+    """Decode + merge several positional run rows of ONE term (one
+    bucket's runs from different input splits). Doc ids are unique
+    across runs (a doc's text is one input row), so a stable doc-sort
+    of the concatenated groups is a full merge."""
+    parts = [_decode_positional(r) for r in rows]
+    if len(parts) == 1:
+        return parts[0]
+    ids = np.concatenate([p[0] for p in parts])
+    tfs = np.concatenate([p[1] for p in parts])
+    slices = []
+    for _, _, starts, ends, pos in parts:
+        slices.extend(pos[s:e] for s, e in zip(starts, ends))
+    order = np.argsort(ids, kind="stable")
+    ids, tfs = ids[order], tfs[order]
+    pos = np.concatenate([slices[g] for g in order]) if len(order) else \
+        np.array([], dtype=np.int64)
+    ends = np.cumsum(tfs)
+    starts = ends - tfs
+    return ids, tfs, starts, ends, pos
+
+
+def phrase_search_sharded(phrases: DataFrame, pos_runs: DataFrame,
+                          mode: str = "simple") -> DataFrame:
+    """Doc-range-sharded phrase search — result-identical to
+    phrase_search, with BOUNDED per-task bytes.
+
+    phrase_search groups on query_id alone, so a stop-word phrase
+    ("the the") fetches both full positional postings into ONE task —
+    at 10^12 docs that is tens of GB, the same single-task OOM shape
+    bm25_wand_sharded fixed for BM25 scoring. Here the input is the
+    run-level relation from build_positional_runs: grouping on
+    (query_id, bucket) fetches only one doc-range slice of each posting
+    per task. Positions are doc-local and every posting of doc d lives
+    in d's bucket, so bucket-local adjacency is exact and the final
+    result is the plain UNION of per-bucket hits (hits are per
+    (phrase, doc); docs never span buckets) — no merge step at all."""
+    pairs, n_terms = _phrase_want(phrases, mode)
+    if not pairs:
+        return phrases.sparkSession.createDataFrame([], PHRASE_HIT_SCHEMA)
+    spark = phrases.sparkSession
+    want = spark.createDataFrame(pairs, "query_id int, term_idx int, term string")
+    fetched = pos_runs.join(F.broadcast(want), "term")
+
+    def match(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        by_idx: dict[int, list] = defaultdict(list)
+        for j in range(len(pdf)):
+            row = pdf.iloc[j]
+            by_idx[int(row["term_idx"])].append(row)
+        decoded = {i: _decode_rows_merged(rs) for i, rs in by_idx.items()}
+        return _match_adjacency(qid, n_terms[qid], decoded)
+
+    return fetched.groupBy("query_id", "bucket").applyInPandas(
+        match, PHRASE_HIT_SCHEMA
+    )
+
+
+def write_positional_runs_index(pos_runs: DataFrame, path: str,
+                                num_shards: int = 32) -> None:
+    """Persist the RUN-level positional index hash-sharded on term (same
+    layout contract as index_build.write_runs_index): shard dirs prune at
+    planning time, term predicates push into row groups, and the bucket
+    column survives as data so phrase matching groups on
+    (query_id, bucket) with bounded task bytes."""
+    from cer_for_mti_spark.functions.hashing import md5_60
+
+    sharded = pos_runs.withColumn(
+        "shard", F.pmod(md5_60(F.col("term")), F.lit(num_shards)).cast("int")
+    ).repartition(num_shards, "shard")
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(
+        f"{path}/positional_runs"
+    )
+
+
+def phrase_search_sharded_from_index(spark, index_path: str,
+                                     phrases: DataFrame,
+                                     mode: str = "simple",
+                                     num_shards: int = 32,
+                                     base_df: DataFrame | None = None,
+                                     ) -> DataFrame:
+    """Scan-pruned sharded phrase search over a written positional-runs
+    index: shard + term literal filters (PartitionFilters + PushedFilters),
+    then per-(phrase, bucket) matching — the full 10^12-doc phrase shape:
+    touch |terms| row groups, fetch one bucket slice per task."""
+    from cer_for_mti_spark.functions.hashing import md5_60_py
+
+    terms = set()
+    for r in phrases.collect():
+        terms.update(phrase_terms(r["query"], mode))
+    if not terms:
+        return phrases.sparkSession.createDataFrame([], PHRASE_HIT_SCHEMA)
+    shards = sorted({md5_60_py(t) % num_shards for t in terms})
+    df = base_df if base_df is not None else (
+        spark.read.option("basePath", f"{index_path}/positional_runs").parquet(
+            f"{index_path}/positional_runs"
+        )
+    )
+    pruned = df.filter(
+        F.col("shard").isin(shards) & F.col("term").isin(sorted(terms))
+    )
+    return phrase_search_sharded(phrases, pruned, mode)

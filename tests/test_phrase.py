@@ -91,6 +91,79 @@ def test_positional_repartitioned_input(spark, webtext, positional):
     assert got_a == got_b and len(got_a) > 0
 
 
+@pytest.fixture(scope="module")
+def pos_runs(spark, webtext):
+    """Run-level positional index with a small salt -> many doc-range
+    buckets (forces real per-bucket sharding on the 300-doc corpus)."""
+    return ph.build_positional_runs(webtext, mode="simple", salt=8).cache()
+
+
+@pytest.mark.parametrize("query", ["the of", "of the and", "the the"])
+def test_phrase_sharded_vs_merged(spark, webtext, positional, pos_runs, query):
+    """Sharded path is result-identical to the merged-postings path —
+    including the stop-word repeated-term phrase whose postings a
+    single-task matcher would have to fully co-locate."""
+    assert pos_runs.select("bucket").distinct().count() > 4
+    q = spark.createDataFrame([(0, query)], "query_id int, query string")
+    merged = {(r.phrase_id, r.doc_id, r.n_matches)
+              for r in ph.phrase_search(q, positional).collect()}
+    sharded = {(r.phrase_id, r.doc_id, r.n_matches)
+               for r in ph.phrase_search_sharded(q, pos_runs).collect()}
+    assert merged == sharded and len(sharded) > 0
+
+
+def test_phrase_sharded_repartitioned_input(spark, webtext, positional):
+    """Runs built from NON-doc-range input partitions (repartition(7) ->
+    a (term, bucket) pair carries several runs per bucket): the matcher
+    must merge the decoded runs per term, results unchanged."""
+    runs_b = ph.build_positional_runs(webtext.repartition(7), mode="simple",
+                                      salt=8)
+    # several runs per (term, bucket) actually occur
+    from pyspark.sql import functions as F2
+    multi = (runs_b.groupBy("term", "bucket").count()
+             .filter(F2.col("count") > 1).count())
+    assert multi > 0
+    qs = spark.createDataFrame([(0, "of the"), (1, "the the")],
+                               "query_id int, query string")
+    want = {(r.phrase_id, r.doc_id, r.n_matches)
+            for r in ph.phrase_search(qs, positional).collect()}
+    got = {(r.phrase_id, r.doc_id, r.n_matches)
+           for r in ph.phrase_search_sharded(qs, runs_b).collect()}
+    assert want == got and len(got) > 0
+
+
+def test_phrase_sharded_from_index(spark, webtext, positional, pos_runs,
+                                   tmp_path):
+    """Written positional-runs index: shard pruning + term pushdown,
+    per-(phrase, bucket) matching, results identical to the merged path."""
+    idx = str(tmp_path / "pos_runs_idx")
+    ph.write_positional_runs_index(pos_runs, idx, num_shards=8)
+    qs = spark.createDataFrame([(0, "the of"), (1, "the the")],
+                               "query_id int, query string")
+    want = {(r.phrase_id, r.doc_id, r.n_matches)
+            for r in ph.phrase_search(qs, positional).collect()}
+    got = {(r.phrase_id, r.doc_id, r.n_matches)
+           for r in ph.phrase_search_sharded_from_index(
+               spark, idx, qs, num_shards=8).collect()}
+    assert want == got and len(got) > 0
+
+    import contextlib
+    import io
+
+    from cer_for_mti_spark.functions.hashing import md5_60_py
+    from pyspark.sql import functions as F2
+    base = spark.read.option("basePath", f"{idx}/positional_runs").parquet(
+        f"{idx}/positional_runs")
+    probe = base.filter(
+        F2.col("shard").isin([md5_60_py("the") % 8])
+        & F2.col("term").isin(["the"]))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "PushedFilters" in plan
+
+
 def test_phrase_search_from_index(spark, webtext, positional, tmp_path):
     """Written positional index: shard pruning + term pushdown, results
     identical to the open-DF search."""
