@@ -587,8 +587,48 @@ def postings_to_runs(postings: DataFrame) -> DataFrame:
     )
 
 
+def postings_to_doc_terms(postings: DataFrame) -> DataFrame:
+    """Decode merged postings back to the (doc_id, term, tf, doclen)
+    relation — the exact inverse of the build (round-trip tested), used
+    by compact_index's stats-refresh rebuild when the delta outgrows the
+    frozen-avgdl approximation. One narrow Arrow-batched pass, no
+    shuffle; at 10^12 docs this is a full-index scan, which is the point:
+    a stats refresh IS a rebuild and is priced as one."""
+
+    def decode(batches):
+        empty = {
+            "doc_id": pd.Series([], dtype="int64"),
+            "term": pd.Series([], dtype=object),
+            "tf": pd.Series([], dtype="int32"),
+            "doclen": pd.Series([], dtype="int64"),
+        }
+        for pdf in batches:
+            ids_l, tfs_l, dls_l, terms_l = [], [], [], []
+            for term, d, t, dl in zip(pdf["term"], pdf["doc_ids"],
+                                      pdf["tfs"], pdf["doclens"]):
+                ids = delta_decode(bytes(d))
+                ids_l.append(ids)
+                tfs_l.append(varint_decode(bytes(t)).astype(np.int64))
+                dls_l.append(varint_decode(bytes(dl)).astype(np.int64))
+                terms_l.append(np.repeat(term, len(ids)))
+            if not ids_l:
+                yield pd.DataFrame(empty)
+                continue
+            yield pd.DataFrame({
+                "doc_id": np.concatenate(ids_l),
+                "term": np.concatenate(terms_l),
+                "tf": np.concatenate(tfs_l).astype(np.int32),
+                "doclen": np.concatenate(dls_l),
+            })
+
+    return postings.select("term", "doc_ids", "tfs", "doclens").mapInPandas(
+        decode, "doc_id long, term string, tf int, doclen long"
+    )
+
+
 def compact_index(spark, index_path: str, delta_dir: str, out_path: str,
-                  num_shards: int = 32) -> tuple[int, float]:
+                  num_shards: int = 32, on_conflict: str = "error",
+                  rebuild_threshold: float | None = 0.5) -> tuple[int, float]:
     """Merge streamed doc_terms deltas (stream_doc_terms's sink rows:
     doc_id, term, tf, doclen, batch_id) into the sharded index WITHOUT a
     full rebuild: delta rows are encoded into runs and merged with the
@@ -597,13 +637,24 @@ def compact_index(spark, index_path: str, delta_dir: str, out_path: str,
     doc-id ranges (out-of-order ingest) take the decode/re-encode fallback
     automatically.
 
+    Update semantics are APPEND-ONLY and ENFORCED: a delta doc_id already
+    present in the index would otherwise yield duplicate posting entries
+    (df inflated, the doc scored twice by TAAT/WAND) and an over-counted
+    n_new. on_conflict='error' (default) fails loudly listing the overlap
+    count; on_conflict='skip' anti-joins the overlapping docs out of the
+    delta (re-ingested docs are ignored — true updates require a delete +
+    rebuild, which this engine prices as the rebuild it is).
+
     Stats contract (Lucene-segment style): BM25 impacts and block maxes
     are baked with the index's ORIGINAL avgdl; compaction freezes it so
     the existing bytes stay valid, and queries against the compacted index
-    must pass the returned (n, avgdl). A periodic full rebuild refreshes
-    global stats; between rebuilds the approximation drifts by the
-    delta/corpus length-mix ratio (standard for incremental inverted
-    indexes). Returns (new_n_docs, frozen_avgdl)."""
+    must pass the returned (n, avgdl). The drift of that approximation is
+    bounded BY POLICY, not operator discipline: when the delta doc count
+    exceeds rebuild_threshold * n_old, compaction upgrades itself to a
+    stats-refresh full rebuild (decode existing postings back to
+    doc_terms, union the delta, re-encode everything with the NEW avgdl).
+    Pass rebuild_threshold=None to always freeze. Returns
+    (new_n_docs, avgdl_in_effect)."""
     postings = spark.read.parquet(f"{index_path}/postings").drop("shard")
     ds = spark.read.parquet(f"{index_path}/doc_stats")
     n_old, avgdl = corpus_stats(ds)
@@ -623,8 +674,39 @@ def compact_index(spark, index_path: str, delta_dir: str, out_path: str,
             F.sum("tf").cast("long").alias("doclen")
         )
         delta_dt = base.join(dl, "doc_id")
+    old_ids = ds.select("doc_id")
+    n_overlap = delta_dt.select("doc_id").distinct().join(
+        old_ids, "doc_id", "left_semi"
+    ).count()
+    if n_overlap:
+        if on_conflict == "error":
+            raise ValueError(
+                f"compact_index: {n_overlap} delta doc_ids already exist in "
+                f"the index at {index_path}; append-only compaction would "
+                "double-count them. Pass on_conflict='skip' to drop the "
+                "re-ingested docs, or rebuild for true updates."
+            )
+        if on_conflict != "skip":
+            raise ValueError(f"unknown on_conflict {on_conflict!r}")
+        delta_dt = delta_dt.join(old_ids, "doc_id", "left_anti")
     delta_ds = delta_dt.groupBy("doc_id").agg(F.max("doclen").alias("doclen"))
-    n_new = n_old + delta_ds.count()
+    n_delta = delta_ds.count()
+    n_new = n_old + n_delta
+
+    if rebuild_threshold is not None and n_delta > rebuild_threshold * n_old:
+        # past-threshold: the frozen-avgdl approximation is no longer
+        # acceptable — refresh stats with a genuine full re-encode
+        old_dt = postings_to_doc_terms(postings)
+        all_dt = old_dt.unionByName(
+            delta_dt.select("doc_id", "term", "tf", "doclen")
+        )
+        new_ds = ds.select("doc_id", "doclen").unionByName(
+            delta_ds.select("doc_id", "doclen")
+        )
+        n_new, new_avgdl = corpus_stats(new_ds)
+        rebuilt = build_postings(all_dt, new_ds, new_avgdl, n_docs=n_new)
+        write_index(rebuilt, new_ds, out_path, num_shards=num_shards)
+        return n_new, new_avgdl
 
     delta_runs = build_posting_runs(delta_dt, None, avgdl, n_docs=n_new)
     old_runs = postings_to_runs(postings)

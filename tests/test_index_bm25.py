@@ -311,6 +311,80 @@ def test_compact_index(spark, tmp_path):
     assert a2 == b2 and len(a2) > 0
 
 
+def test_compact_index_conflicts_and_rebuild(spark, tmp_path):
+    """Append-only semantics enforced: a delta re-ingesting an existing
+    doc_id raises by default; on_conflict='skip' drops the re-ingested
+    docs (result equals compacting the disjoint part alone). Past the
+    rebuild threshold compaction upgrades to a stats-refresh full
+    rebuild: returned avgdl and posting bytes (incl. block maxes) equal
+    a from-scratch build over the union corpus."""
+    from cer_for_mti_spark import datagen
+
+    full = datagen.generate_webtext(spark, 120, seed=13).cache()
+    old = full.filter(F.col("doc_id") < 80)
+    new = full.filter(F.col("doc_id") >= 80)
+
+    dt_old = ib.build_doc_terms(old).cache()
+    ds_old = ib.build_doc_stats(dt_old)
+    n_old, avgdl_old = ib.corpus_stats(ds_old)
+    idx = str(tmp_path / "idx_old")
+    ib.write_index(ib.build_postings(dt_old, ds_old, avgdl_old, salt=4),
+                   ds_old, idx, num_shards=8)
+
+    # postings -> doc_terms round-trip is exact (the rebuild's foundation)
+    rt = ib.postings_to_doc_terms(
+        spark.read.parquet(f"{idx}/postings").drop("shard"))
+    a = {(r.doc_id, r.term, r.tf, r.doclen) for r in rt.collect()}
+    b = {(r.doc_id, r.term, r.tf, r.doclen)
+         for r in ib.build_doc_terms_with_dl(old).collect()}
+    assert a == b and len(a) > 0
+
+    # delta overlapping existing doc_ids: error by default
+    import pytest as _pytest
+    dirty_dir = str(tmp_path / "deltas_dirty")
+    ib.build_doc_terms(full.filter(F.col("doc_id") >= 70)).withColumn(
+        "batch_id", F.lit(0)).write.parquet(dirty_dir)
+    with _pytest.raises(ValueError, match="already exist"):
+        ib.compact_index(spark, idx, dirty_dir, str(tmp_path / "x"),
+                         num_shards=8)
+
+    # on_conflict='skip' == compacting the disjoint delta alone
+    clean_dir = str(tmp_path / "deltas_clean")
+    ib.build_doc_terms(new).withColumn("batch_id", F.lit(0)).write.parquet(
+        clean_dir)
+    out_skip = str(tmp_path / "idx_skip")
+    out_clean = str(tmp_path / "idx_clean")
+    n_s, av_s = ib.compact_index(spark, idx, dirty_dir, out_skip,
+                                 num_shards=8, on_conflict="skip",
+                                 rebuild_threshold=None)
+    n_c, av_c = ib.compact_index(spark, idx, clean_dir, out_clean,
+                                 num_shards=8, rebuild_threshold=None)
+    assert (n_s, av_s) == (n_c, av_c) == (120, avgdl_old)
+    key = lambda df: {r["term"]: (r["df"], bytes(r["doc_ids"]),
+                                  bytes(r["tfs"]), bytes(r["doclens"]))
+                      for r in df.collect()}
+    assert key(spark.read.parquet(f"{out_skip}/postings")) == \
+        key(spark.read.parquet(f"{out_clean}/postings"))
+
+    # past-threshold: 40 new docs > 0.4 * 80 -> stats-refresh rebuild
+    out_rb = str(tmp_path / "idx_rebuilt")
+    n_rb, avgdl_rb = ib.compact_index(spark, idx, clean_dir, out_rb,
+                                      num_shards=8, rebuild_threshold=0.4)
+    dt_full = ib.build_doc_terms(full)
+    ds_full = ib.build_doc_stats(dt_full)
+    n_f, avgdl_f = ib.corpus_stats(ds_full)
+    assert n_rb == n_f == 120 and avgdl_rb == avgdl_f != avgdl_old
+    scratch = ib.build_postings(dt_full, ds_full, avgdl_f, salt=4,
+                                n_docs=n_f)
+    key_full = lambda df: {
+        r["term"]: (r["df"], bytes(r["doc_ids"]), bytes(r["tfs"]),
+                    bytes(r["doclens"]), tuple(r["block_last"]),
+                    tuple(r["block_max"]), r["max_impact"])
+        for r in df.collect()}
+    assert key_full(spark.read.parquet(f"{out_rb}/postings")) == \
+        key_full(scratch)
+
+
 def test_wand_sharded_from_index(spark, webtext, queries, tmp_path):
     """Written runs index: shard dirs prune (PartitionFilters), term
     predicates push down (PushedFilters), and the pruned sharded path is
