@@ -309,8 +309,10 @@ def q_embedding_topk(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    """Non-SQL path (pandas-UDF LSH buckets): rows-only check; recall vs
-    brute force asserted in tests."""
+    """Sign-random-projection LSH ANN. The hyperplanes are a pure
+    function of the seed, so the oracle replays the full bucketing +
+    candidate join + exact re-score in SQL (hyperplanes inlined as
+    literal arrays, the _embedding_near_dup_sql pattern)."""
     emb = _read(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
@@ -705,12 +707,16 @@ def q_ann_ivf_kmeans(spark, sf_dir):
 
 
 def q_ann_pq(spark, sf_dir):
-    """Product-quantization ANN (rows-only: codebooks are trained
-    driver-side on a hash-ordered sample — non-SQL-expressible; cluster
-    recall + determinism asserted in tests/test_similarity.py). Corpus
-    lives as m=8 one-byte codes; queries score via ADC lookup tables."""
+    """Product-quantization ANN with SAMPLED codebooks (n_iter=0: the
+    codewords are the ks hash-ordered normalized sample subvectors —
+    pq_train's deterministic Lloyd INIT, no refinement). That makes the
+    ENTIRE pipeline SQL-replayable: the oracle re-derives the sample,
+    the codebooks, every vector's m one-byte codes (argmin L2 per
+    subspace) and the ADC scores from the table itself — a stronger
+    check than inlining pre-trained floats. The Lloyd-refined path stays
+    covered by tests/test_similarity.py (determinism + recall)."""
     emb = _read(spark, sf_dir, "embeddings")
-    books = similarity.pq_train(emb, m=8, ks=16, sample_size=512, n_iter=6)
+    books = similarity.pq_train(emb, m=8, ks=16, sample_size=512, n_iter=0)
     codes = similarity.pq_encode(emb, books)
     qs = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
@@ -1193,6 +1199,89 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.95
 """
 
 
+def _ann_lsh_sql() -> str:
+    """Replays lsh_topk(k=5, dim=64, n_planes=4, n_tables=16, seed=42)
+    end-to-end: 16 seeded hyperplane sets inlined as literal arrays,
+    bucket = sum over planes of (dot > 0) << j, candidates = bucket
+    match in ANY table, exact cosine re-score on candidates only."""
+    from cer_for_mti_spark.operators.similarity import _hyperplanes
+
+    n_tables, n_planes = 16, 4
+
+    def bucket_exprs(var: str) -> str:
+        cols = []
+        for t in range(n_tables):
+            planes = _hyperplanes(64, n_planes, 42 + t)
+            terms = []
+            for j in range(n_planes):
+                arr = ", ".join(repr(float(x)) for x in planes[j])
+                terms.append(
+                    f"(CASE WHEN list_dot_product({var}, [{arr}]) > 0 "
+                    f"THEN {1 << j} ELSE 0 END)"
+                )
+            cols.append("(" + " + ".join(terms) + f")::BIGINT AS b{t}")
+        return ", ".join(cols)
+
+    band_union = " UNION ALL ".join(
+        f"SELECT q.qid, e.id FROM qbk q JOIN bk e ON q.b{t} = e.b{t}"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id < 5),
+bk AS (SELECT id, v, {bucket_exprs('v')} FROM e),
+qbk AS (SELECT qid, qv, {bucket_exprs('qv')} FROM q),
+cand AS (SELECT DISTINCT qid, id FROM ({band_union})),
+scored AS (SELECT c.qid, c.id,
+                  round(list_cosine_similarity(x.v, y.qv), 6) AS cosine
+           FROM cand c JOIN e x ON c.id = x.id JOIN q y ON c.qid = y.qid)
+SELECT qid AS q_id, id AS vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY qid ORDER BY cosine DESC, id ASC)::INT AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
+def _ann_pq_sql() -> str:
+    """Replays q_ann_pq end-to-end IN SQL, nothing inlined: sample = the
+    16 smallest-portable-hash vectors (pq_train's hash order), codebooks
+    = their normalized per-subspace slices (Lloyd init, n_iter=0), codes
+    = per-(vector, subspace) argmin-L2 codeword (ties -> lowest index),
+    ADC score = sum over subspaces of <query subvector, codeword>."""
+    m, ks, dsub, k = 8, 16, 8, 5
+    h = md5_60_sql("id::VARCHAR")
+    return f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT id,
+             list_transform(v, x -> x / greatest(sqrt(list_dot_product(v, v)),
+                                                 1e-12)) AS nv
+      FROM e),
+samp AS (SELECT nv, row_number() OVER (ORDER BY {h}, id) AS cw
+         FROM (SELECT * FROM n ORDER BY {h}, id LIMIT {ks})),
+books AS (SELECT cw, j, nv[j * {dsub} + 1:(j + 1) * {dsub}] AS bv
+          FROM samp, range({m}) t(j)),
+sub AS (SELECT id, j, nv[j * {dsub} + 1:(j + 1) * {dsub}] AS sv
+        FROM n, range({m}) t(j)),
+asgn AS (SELECT id, j, cw FROM (
+    SELECT s.id, s.j, b.cw, row_number() OVER (
+        PARTITION BY s.id, s.j
+        ORDER BY list_distance(s.sv, b.bv) ASC, b.cw ASC) AS rn
+    FROM sub s JOIN books b USING (j)) WHERE rn = 1),
+q AS (SELECT id AS qid, nv AS qv FROM n WHERE id < 5),
+scored AS (SELECT q.qid, a.id,
+                  round(sum(list_dot_product(
+                      q.qv[a.j * {dsub} + 1:(a.j + 1) * {dsub}], b.bv)), 6)
+                    AS adc_score
+           FROM asgn a JOIN books b ON a.j = b.j AND a.cw = b.cw, q
+           GROUP BY q.qid, a.id)
+SELECT qid::INT AS q_id, id AS vec_id, adc_score, rank FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY qid ORDER BY adc_score DESC, id ASC)::INT AS rank
+  FROM scored) WHERE rank <= {k}
+"""
+
+
 def _ann_ivf_sql() -> str:
     return """
 WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
@@ -1296,6 +1385,8 @@ SELECT doc_id,
 FROM documents
 """,
         "ann_ivf": _ann_ivf_sql(),
+        "ann_lsh": _ann_lsh_sql(),
+        "ann_pq": _ann_pq_sql(),
         "phrase_search": _phrase_sql(),
         "phrase_search_sharded": _phrase_sql(),
         "asof_join": f"""

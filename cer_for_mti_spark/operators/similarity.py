@@ -346,28 +346,35 @@ def pq_encode(emb: DataFrame, codebooks: np.ndarray,
     return v.mapInPandas(encode, "id long, codes binary")
 
 
-def pq_topk(codes_df: DataFrame, codebooks: np.ndarray, queries: DataFrame,
-            k: int = 5, q_id_col: str = "q_id",
-            q_vec_col: str = "q_vec") -> DataFrame:
-    """Asymmetric-distance top-k over PQ codes: per query, a (m, ks) LUT
-    of inner products between the normalized query subvector and each
-    codeword; a corpus code's score = sum over subspaces of
-    LUT[j][code[j]] ~= cosine. One mapInPandas scan of the codes emits a
-    per-batch top-k per query (numpy fancy indexing — no Python per row),
-    then one tiny window merges partitions. Deterministic: scores rounded
-    to 6, ties by ascending id."""
+def _pq_adc_scan(codes_df: DataFrame, codebooks: np.ndarray,
+                 q_rows: list, k: int,
+                 cells_by_q: dict | None = None) -> DataFrame:
+    """Shared ADC scan: per query, a (m, ks) LUT of inner products
+    between the normalized query subvector and each codeword; a corpus
+    code's score = sum over subspaces of LUT[j][code[j]] ~= cosine. One
+    mapInPandas scan of the codes emits a per-batch top-k per query
+    (numpy fancy indexing — no Python per row), then one tiny window
+    merges partitions. Deterministic: scores rounded to 6, ties by
+    ascending id.
+
+    cells_by_q ({qid: frozenset(cell ids)}, requires a `cell` column):
+    each query scores ONLY rows from its OWN probed cells — the prune
+    happens BEFORE any top-k cut, so a query can never lose own-cell
+    candidates to other queries' cells (the skewed-cells bug a global
+    interim cut has) and gets its exact per-cell-restricted top-k."""
     m, ks, dsub = codebooks.shape
-    q_rows = queries.select(F.col(q_id_col).alias("qid"),
-                            _as_double(q_vec_col).alias("q")).collect()
-    if not q_rows:
-        return queries.sparkSession.createDataFrame(
-            [], "q_id int, vec_id long, adc_score double, rank int")
     qids = [int(r["qid"]) for r in q_rows]
     qm = np.asarray([r["q"] for r in q_rows], dtype=np.float64)
     qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
     # luts[qi, j, c] = <q_sub, codeword>
     luts = np.einsum("qjd,jcd->qjc",
                      qm.reshape(len(qm), m, dsub), codebooks)
+    use_cells = cells_by_q is not None
+    cell_arrays = (
+        {qid: np.asarray(sorted(cells_by_q.get(qid, ())), dtype=np.int64)
+         for qid in qids}
+        if use_cells else None
+    )
 
     def scan(batches):
         for pdf in batches:
@@ -376,11 +383,19 @@ def pq_topk(codes_df: DataFrame, codebooks: np.ndarray, queries: DataFrame,
                  for b in pdf["codes"]]
             )  # (n, m)
             ids = pdf["id"].to_numpy()
+            cells = pdf["cell"].to_numpy() if use_cells else None
             out = {"q_id": [], "vec_id": [], "adc_score": []}
             for qi, qid in enumerate(qids):
+                if use_cells:
+                    rows_mask = np.isin(cells, cell_arrays[qid])
+                    if not rows_mask.any():
+                        continue
+                    sub_codes, sub_ids = codes[rows_mask], ids[rows_mask]
+                else:
+                    sub_codes, sub_ids = codes, ids
                 # scores[n] = sum_j luts[qi, j, codes[:, j]]
                 scores = np.round(
-                    luts[qi][np.arange(m)[None, :], codes].sum(axis=1), 6
+                    luts[qi][np.arange(m)[None, :], sub_codes].sum(axis=1), 6
                 )
                 if len(scores) > k:
                     kth = np.partition(scores, len(scores) - k)[len(scores) - k]
@@ -388,11 +403,12 @@ def pq_topk(codes_df: DataFrame, codebooks: np.ndarray, queries: DataFrame,
                 else:
                     mask = np.ones(len(scores), dtype=bool)
                 out["q_id"].extend([qid] * int(mask.sum()))
-                out["vec_id"].extend(ids[mask].tolist())
+                out["vec_id"].extend(sub_ids[mask].tolist())
                 out["adc_score"].extend(scores[mask].tolist())
             yield pd.DataFrame(out)
 
-    cands = codes_df.select("id", "codes").mapInPandas(
+    sel = ["id", "codes"] + (["cell"] if use_cells else [])
+    cands = codes_df.select(*sel).mapInPandas(
         scan, "q_id int, vec_id long, adc_score double"
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("adc_score"),
@@ -402,6 +418,19 @@ def pq_topk(codes_df: DataFrame, codebooks: np.ndarray, queries: DataFrame,
         .filter(F.col("rank") <= k)
         .select("q_id", "vec_id", "adc_score", "rank")
     )
+
+
+def pq_topk(codes_df: DataFrame, codebooks: np.ndarray, queries: DataFrame,
+            k: int = 5, q_id_col: str = "q_id",
+            q_vec_col: str = "q_vec") -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes — exhaustive ADC scan of
+    the whole codes table (see _pq_adc_scan for the scan shape)."""
+    q_rows = queries.select(F.col(q_id_col).alias("qid"),
+                            _as_double(q_vec_col).alias("q")).collect()
+    if not q_rows:
+        return queries.sparkSession.createDataFrame(
+            [], "q_id int, vec_id long, adc_score double, rank int")
+    return _pq_adc_scan(codes_df, codebooks, q_rows, k)
 
 
 def ivf_pq_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
@@ -429,44 +458,123 @@ def ivf_pq_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
         books, id_col=id_col, vec_col=vec_col,
     ).join(assigned.select("id", "cell"), "id")
 
-    qs = queries.select(
+    q_rows = queries.select(
         F.col(q_id_col).alias("qid"), _as_double(q_vec_col).alias("q")
-    ).withColumn("qnorm", _norm(F.col("q")))
-    cents = centroids.select(
-        F.col("c_id").alias("cid"), _as_double("c_vec").alias("cv")
-    ).withColumn("cnorm", _norm(F.col("cv")))
-    qdot = F.aggregate(
-        F.zip_with("q", "cv", lambda x, y: x * y), F.lit(0.0),
-        lambda a, x: a + x,
+    ).collect()
+    if not q_rows:
+        return queries.sparkSession.createDataFrame(
+            [], "q_id int, vec_id long, adc_score double, rank int")
+    cent_rows = centroids.select("c_id", _as_double("c_vec").alias("cv")
+                                 ).collect()
+    cells_by_q = _probe_cells(q_rows, cent_rows, nprobe)
+    # union of all probed cells prunes the codes scan (at table scale,
+    # partition pruning on the cell dir — see ann_topk_from_index); the
+    # per-QUERY restriction happens INSIDE the scan, before any top-k
+    # cut, so skewed cells / wide probe unions can't displace a query's
+    # own-cell candidates
+    all_cells = sorted({c for cs in cells_by_q.values() for c in cs})
+    pruned = codes.filter(F.col("cell").isin(all_cells))
+    return _pq_adc_scan(pruned, books, q_rows, k, cells_by_q=cells_by_q)
+
+
+def _probe_cells(q_rows: list, cent_rows: list, nprobe: int) -> dict:
+    """{qid: frozenset(nprobe nearest cells)} — numpy twin of the
+    declarative qcells computation (round(cosine, 6) desc, cid asc),
+    driver-side because centroids are tiny by construction."""
+    cids = np.asarray([int(r["c_id"]) for r in cent_rows], dtype=np.int64)
+    cm = np.asarray([r["cv"] for r in cent_rows], dtype=np.float64)
+    cnorm = np.maximum(np.linalg.norm(cm, axis=1), 1e-300)
+    out = {}
+    for r in q_rows:
+        q = np.asarray(r["q"], dtype=np.float64)
+        qn = max(float(np.linalg.norm(q)), 1e-300)
+        csim = np.round(cm @ q / (cnorm * qn), 6)
+        order = np.lexsort((cids, -csim))[:nprobe]
+        out[int(r["qid"])] = frozenset(int(cids[i]) for i in order)
+    return out
+
+
+def write_ann_index(emb: DataFrame, path: str, n_centroids: int = 16,
+                    m: int = 8, ks: int = 16, sample_size: int = 2048,
+                    kmeans_iter: int = 5, pq_iter: int = 8,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Persist the IVF-PQ index: PQ codes partitioned BY CELL (so a
+    query's probe list becomes genuine partition pruning at read time —
+    the ANN analogue of the postings shard layout), plus the trained
+    centroids and codebooks as tiny parquet side tables. Training is
+    deterministic (hash-init k-means, hash-ordered PQ sample), so a
+    rewritten index is bit-identical.
+
+    Layout: <path>/codes/cell=<i>/ (id, codes binary(m)),
+    <path>/centroids (c_id, c_vec), <path>/codebooks (j, c, vec).
+    At 10^12 vectors the codes table is ~m bytes/vector; everything a
+    query touches is nprobe cell directories of that."""
+    cents = kmeans_centroids(emb, n_centroids=n_centroids,
+                             n_iter=kmeans_iter, id_col=id_col,
+                             vec_col=vec_col)
+    books = pq_train(emb, m=m, ks=ks, sample_size=sample_size,
+                     n_iter=pq_iter, id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(emb, cents, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(
+        assigned.select(F.col("id").alias(id_col), F.col("v").alias(vec_col)),
+        books, id_col=id_col, vec_col=vec_col,
+    ).join(assigned.select("id", "cell"), "id")
+    # repartition on the partition key first: without it every input task
+    # writes a file into every cell dir
+    codes.repartition(n_centroids, "cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/codes")
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    book_rows = [
+        (j, c, [float(x) for x in books[j, c]])
+        for j in range(books.shape[0]) for c in range(books.shape[1])
+    ]
+    emb.sparkSession.createDataFrame(
+        book_rows, "j int, c int, vec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def read_ann_index(spark, path: str):
+    """-> (codes DF with cell partition column, centroid rows, codebooks
+    ndarray). Open the codes DF once and pass it to repeated
+    ann_topk_from_index calls: pruning is planning-time."""
+    codes = spark.read.option("basePath", f"{path}/codes").parquet(
+        f"{path}/codes"
     )
-    qcells = (
-        qs.join(F.broadcast(cents))
-        .withColumn("csim", F.round(qdot / (F.col("qnorm") * F.col("cnorm")), 6))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("cid"))
-            ),
-        )
-        .filter(F.col("rn") <= nprobe)
-        .select("qid", F.col("cid").alias("cell"))
+    cent_rows = spark.read.parquet(f"{path}/centroids").select(
+        "c_id", _as_double("c_vec").alias("cv")
+    ).collect()
+    brows = spark.read.parquet(f"{path}/codebooks").collect()
+    mm = max(r["j"] for r in brows) + 1
+    kk = max(r["c"] for r in brows) + 1
+    dsub = len(brows[0]["vec"])
+    books = np.empty((mm, kk, dsub))
+    for r in brows:
+        books[r["j"], r["c"]] = r["vec"]
+    return codes, cent_rows, books
+
+
+def ann_topk_from_index(spark, path: str, queries: DataFrame, k: int = 5,
+                        nprobe: int = 2, q_id_col: str = "q_id",
+                        q_vec_col: str = "q_vec",
+                        index=None) -> DataFrame:
+    """IVF-PQ top-k over a WRITTEN index: the probe list is a literal
+    `cell IN (...)` filter on the partition column, so only nprobe cell
+    DIRECTORIES are read (PartitionFilters — plan-asserted in tests);
+    ADC scoring reads m bytes/vector of those. Per-query own-cell
+    restriction happens inside the scan, before any top-k cut.
+    Result-identical to ivf_pq_topk with the same trained artifacts."""
+    codes, cent_rows, books = index if index is not None else read_ann_index(
+        spark, path
     )
-    probe_cells = {
-        int(r["cell"]): None for r in qcells.select("cell").distinct().collect()
-    }
-    # per-query probe map drives a semi-join prune of the codes scan;
-    # scoring itself is the plain PQ ADC scan on the pruned relation,
-    # restricted afterwards to each query's own probed cells
-    pruned = codes.filter(F.col("cell").isin(list(probe_cells)))
-    scored = pq_topk(pruned, books, queries, k=n_centroids * k,
-                     q_id_col=q_id_col, q_vec_col=q_vec_col)
-    cell_of = codes.select(F.col("id").alias("vec_id"), "cell")
-    own = scored.join(cell_of, "vec_id").join(
-        qcells.withColumnRenamed("qid", "q_id"), ["q_id", "cell"], "left_semi"
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("adc_score"), F.asc("vec_id"))
-    return (
-        own.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "vec_id", "adc_score", "rank")
-    )
+    q_rows = queries.select(
+        F.col(q_id_col).alias("qid"), _as_double(q_vec_col).alias("q")
+    ).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "q_id int, vec_id long, adc_score double, rank int")
+    cells_by_q = _probe_cells(q_rows, cent_rows, nprobe)
+    all_cells = sorted({c for cs in cells_by_q.values() for c in cs})
+    pruned = codes.filter(F.col("cell").isin(all_cells))
+    return _pq_adc_scan(pruned, books, q_rows, k, cells_by_q=cells_by_q)

@@ -169,6 +169,96 @@ def test_pq_adc_recall_and_determinism(spark):
     assert {(r.q_id, r.vec_id, r.rank) for r in got.collect()} == again
 
 
+def test_ivf_pq_own_cell_exact_under_skew(spark):
+    """Regression (round-2 advice): the old implementation cut to a
+    per-query global top-(n_centroids*k) over the UNION of all queries'
+    probed cells before restricting to own cells — under skewed cells a
+    query could lose own-cell candidates and return < k rows. Now the
+    own-cell restriction happens inside the scan, before any cut: each
+    query's result must EQUAL brute-force ADC over exactly its own
+    probed cells' vectors."""
+    import numpy as np
+
+    emb2 = _clustered_emb(spark)
+    qs2 = emb2.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    n_centroids, nprobe, k = 8, 2, 5
+    cents = similarity.kmeans_centroids(emb2, n_centroids=n_centroids,
+                                        n_iter=5)
+    got = similarity.ivf_pq_topk(emb2, qs2, k=k, n_centroids=n_centroids,
+                                 nprobe=nprobe, m=4, ks=16, sample_size=200,
+                                 centroids=cents).collect()
+    # ground truth: ADC scores recomputed in numpy over own probed cells
+    books = similarity.pq_train(emb2, m=4, ks=16, sample_size=200)
+    assigned = {r["id"]: int(r["cell"])
+                for r in similarity.ivf_assign(emb2, cents).collect()}
+    codes = {r["id"]: np.frombuffer(bytes(r["codes"]), dtype=np.uint8)
+             for r in similarity.pq_encode(emb2, books).collect()}
+    cent_rows = cents.select(
+        "c_id", F.transform("c_vec", lambda x: x.cast("double")).alias("cv")
+    ).collect()
+    q_rows = qs2.select(
+        F.col("q_id").alias("qid"),
+        F.transform("q_vec", lambda x: x.cast("double")).alias("q"),
+    ).collect()
+    cells_by_q = similarity._probe_cells(q_rows, cent_rows, nprobe)
+    m, ks_, dsub = books.shape
+    want = {}
+    for r in q_rows:
+        q = np.asarray(r["q"], dtype=np.float64)
+        q = q / np.linalg.norm(q)
+        lut = np.einsum("jd,jcd->jc", q.reshape(m, dsub), books)
+        scored = []
+        for vid, cell in assigned.items():
+            if cell not in cells_by_q[int(r["qid"])]:
+                continue
+            s = round(float(lut[np.arange(m), codes[vid]].sum()), 6)
+            scored.append((-s, vid))
+        scored.sort()
+        want[int(r["qid"])] = [(vid, -negs) for negs, vid in scored[:k]]
+    got_by_q = {}
+    for row in sorted(got, key=lambda r: (r.q_id, r.rank)):
+        got_by_q.setdefault(row.q_id, []).append((row.vec_id, row.adc_score))
+    assert got_by_q == want
+    assert all(len(v) == k for v in got_by_q.values())
+
+
+def test_ann_index_roundtrip_and_pruning(spark, tmp_path):
+    """write_ann_index -> ann_topk_from_index: result-identical to the
+    in-memory ivf_pq_topk with the same trained artifacts (training is
+    deterministic), and the codes scan shows PartitionFilters on the
+    cell directory — the probe list IS partition pruning."""
+    emb2 = _clustered_emb(spark)
+    qs2 = emb2.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    path = str(tmp_path / "ann_idx")
+    similarity.write_ann_index(emb2, path, n_centroids=8, m=4, ks=16,
+                               sample_size=200)
+    idx = similarity.read_ann_index(spark, path)
+    got = {(r.q_id, r.vec_id, r.adc_score, r.rank)
+           for r in similarity.ann_topk_from_index(
+               spark, path, qs2, k=5, nprobe=2, index=idx).collect()}
+    cents = similarity.kmeans_centroids(emb2, n_centroids=8, n_iter=5)
+    want = {(r.q_id, r.vec_id, r.adc_score, r.rank)
+            for r in similarity.ivf_pq_topk(
+                emb2, qs2, k=5, n_centroids=8, nprobe=2, m=4, ks=16,
+                sample_size=200, centroids=cents).collect()}
+    assert got == want and len(got) > 0
+
+    import contextlib
+    import io
+
+    codes, cent_rows, books = idx
+    probe = codes.filter(F.col("cell").isin([0, 1]))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+
 def test_ivf_pq_cluster_recall(spark):
     """IVF-PQ composition: probe-pruned ADC scan still retrieves from the
     query's own cluster, and returns exactly k rows per query."""
