@@ -249,56 +249,105 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
 
 
 def dup_components(pairs: DataFrame, a_col: str = "doc_a",
-                   b_col: str = "doc_b", max_iter: int = 20) -> DataFrame:
+                   b_col: str = "doc_b", max_iter: int = 25) -> DataFrame:
     """Connected components over near-dup pair edges -> (doc_id,
     component) with component = the minimum doc_id reachable. This is the
     step a real dedup pipeline runs between pair generation and
     keep-one-per-group: near-dup is not transitive, so groups are the
     transitive closure of the pair relation.
 
-    Shape: iterative min-label propagation — per round, one equi-join of
-    labels across edges + a min agg; converged when no label changes
-    (checked with one count action per round). Deterministic (min is
-    order-free). Labels are localCheckpoint()ed per round to truncate
-    lineage. max_iter bounds the worst-case chain diameter; near-dup
-    components are shallow in practice. At 10^12-edge scale swap the loop
-    body for alternating large-star/small-star (Kiveris et al.) — same
-    join-agg primitive, O(log n) rounds; the per-round plan is identical."""
-    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().cache()
-    labels = (
-        edges.select(F.col("src").alias("node")).distinct()
-        .withColumn("lbl", F.col("node"))
+    Shape: alternating large-star / small-star rounds (Kiveris et al.
+    2014, "Connected Components in MapReduce and Beyond") — each phase is
+    one symmetric-neighbor groupBy + min + equi-join, and the edge set
+    contracts toward the star forest (every node pointing at its
+    component's minimum) in O(log n) rounds rather than the O(diameter)
+    of plain min-label propagation: a 10^12-edge graph with a long-chain
+    component converges in ~40 rounds where label propagation would need
+    millions. Deterministic (min is order-free). Edges are
+    localCheckpoint()ed per round to truncate lineage; convergence is
+    detected by an (count, xxhash64-sum) edge-set fingerprint, one tiny
+    agg action per phase.
+
+    Raises RuntimeError if max_iter rounds don't converge (a silent exit
+    here would return WRONG labels — with O(log n) rounds the default 25
+    covers any graph that fits on hardware)."""
+    e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).filter(
+        F.col("a") != F.col("b")
     )
+    # canonical orientation (u > v); the invariant both phases preserve
+    edges = e.select(
+        F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+    ).distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+
+    def fingerprint(df: DataFrame) -> tuple[int, int]:
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: a long sum of xxhash64 values overflows
+            # (ANSI mode raises); decimal(38,0) holds ~10^19 hash values
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        return int(r["n"]), int(r["h"])
+
+    fp = fingerprint(edges)
+    converged = False
     for _ in range(max_iter):
-        nbr_min = (
-            edges.join(
-                labels.select(F.col("node").alias("dst"),
-                              F.col("lbl").alias("nlbl")),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("nlbl").alias("nbr_lbl"))
-            .withColumnRenamed("src", "node")
+        # large-star: for every center c, m = min(neighbors ∪ {c});
+        # re-point every LARGER neighbor n > c at m. (The n < c
+        # orientation of an edge is handled when n is the center.)
+        sym = edges.select(F.col("u").alias("c"), F.col("v").alias("n")).union(
+            edges.select(F.col("v").alias("c"), F.col("u").alias("n"))
         )
-        new = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl"))
-                .alias("new_lbl"),
-                F.col("lbl").alias("old_lbl"),
-            )
-        ).localCheckpoint()
-        changed = new.filter(F.col("new_lbl") != F.col("old_lbl")).count()
-        labels = new.select("node", F.col("new_lbl").alias("lbl"))
-        if changed == 0:
+        mins = sym.groupBy("c").agg(F.min("n").alias("mn")).select(
+            "c", F.least("mn", F.col("c")).alias("m")
+        )
+        large = (
+            sym.join(mins, "c")
+            .filter(F.col("n") > F.col("c"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: every edge now points downward (u > v); for each
+        # center u, m = min(smaller neighbors) — re-point u AND all its
+        # smaller neighbors at m. u > m and v > m keep the orientation.
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        j = large.join(mins2, "u")
+        small = (
+            j.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(j.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_fp = fingerprint(small)
+        edges = small
+        if new_fp == fp:
+            # fixed point of both phases = the star forest (every edge is
+            # (member, component-min)); large-star can no longer re-point
+            converged = True
             break
-    edges.unpersist()
-    return labels.select(F.col("node").alias("doc_id"),
-                         F.col("lbl").alias("component"))
+        fp = new_fp
+    if not converged:
+        raise RuntimeError(
+            f"dup_components did not converge in {max_iter} alternating "
+            "star rounds — raise max_iter (labels would be wrong)"
+        )
+    labels = edges.select(F.col("u").alias("node"),
+                          F.col("v").alias("component"))
+    return (
+        nodes.join(labels, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("component", "node").alias("component"),
+        )
+    )
 
 
 def embedding_near_dup(emb: DataFrame, id_col: str = "vec_id",

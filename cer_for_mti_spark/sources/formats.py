@@ -88,22 +88,37 @@ def parse_block_format(lines: DataFrame) -> DataFrame:
     """S4: blank-line-delimited blocks, first line of each block is the
     pmid, following lines are terms (ProcessChemDataExtractor,
     run_tool_evaluation.py:181-201). Needs a line number to recover block
-    structure — pass (line_no, value)."""
-    w = Window.orderBy("line_no")
+    structure — pass (line_no, value) and, for multi-file input,
+    (file, line_no, value).
+
+    The running-sum window partitions by the source FILE when a `file`
+    column is present — the natural parallel unit of the format (a block
+    never spans files), so no task ever sorts more than one file and the
+    plan has no single-partition global sort. Without a `file` column
+    (single-file input, the reference's shape) the window is global:
+    correct, but serial in one task — point big inputs at the file
+    variant."""
+    per_file = "file" in lines.columns
+    if per_file:
+        w = Window.partitionBy("file").orderBy("line_no")
+        block_key = ["file", "block"]
+    else:
+        w = Window.orderBy("line_no")
+        block_key = ["block"]
     blocks = (
         lines.withColumn("is_boundary", (F.trim("value") == "").cast("int"))
         .withColumn("block", F.sum("is_boundary").over(w))
         .filter(F.trim("value") != "")
     )
-    wb = Window.partitionBy("block").orderBy("line_no")
+    wb = Window.partitionBy(*block_key).orderBy("line_no")
     tagged = blocks.withColumn("rn", F.row_number().over(wb))
     pmids = tagged.filter(F.col("rn") == 1).select(
-        "block", F.trim("value").alias("pmid")
+        *block_key, F.trim("value").alias("pmid")
     )
     terms = tagged.filter(F.col("rn") > 1).select(
-        "block", F.trim("value").alias("term")
+        *block_key, F.trim("value").alias("term")
     )
-    return pmids.join(terms, "block").select("pmid", "term").dropDuplicates()
+    return pmids.join(terms, block_key).select("pmid", "term").dropDuplicates()
 
 
 def parse_pubtator(lines: DataFrame,

@@ -122,6 +122,19 @@ def test_dup_components_chain(spark):
                    20: 20, 21: 20, 22: 20}
 
 
+def test_dup_components_long_chain(spark):
+    """Chain diameter >> round budget: a 400-node path converges in
+    O(log n) alternating star rounds (the old min-label loop needed
+    O(diameter) rounds and silently returned wrong labels past
+    max_iter). All nodes must collapse to component 0."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(400)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.component
+           for r in dedup.dup_components(pairs, max_iter=15).collect()}
+    assert got == {i: 0 for i in range(401)}
+
+
 def test_dup_components_matches_union_find(spark):
     """Property check: min-label propagation equals a driver-side
     union-find closure on a pseudo-random (seeded) edge set with chains,

@@ -51,6 +51,35 @@ def test_parse_block_format(spark):
     assert got == {("111", "iron"), ("111", "copper"), ("222", "zinc")}
 
 
+def test_parse_block_format_per_file(spark):
+    """Multi-file input with a `file` column: same parse as running each
+    file alone, and the running-sum window partitions by file — no
+    single-partition global sort in the plan."""
+    fa = [(0, "111"), (1, "iron"), (2, ""), (3, "222"), (4, "zinc")]
+    fb = [(0, "333"), (1, "lead"), (2, "gold")]
+    both = spark.createDataFrame(
+        [("a", *r) for r in fa] + [("b", *r) for r in fb],
+        "file string, line_no long, value string",
+    )
+    got = {(r.pmid, r.term)
+           for r in formats.parse_block_format(both).collect()}
+    sep = set()
+    for rows in (fa, fb):
+        one = spark.createDataFrame(rows, "line_no long, value string")
+        sep |= {(r.pmid, r.term)
+                for r in formats.parse_block_format(one).collect()}
+    assert got == sep == {("111", "iron"), ("222", "zinc"),
+                          ("333", "lead"), ("333", "gold")}
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        formats.parse_block_format(both).explain("formatted")
+    assert "SinglePartition" not in buf.getvalue()
+
+
 def test_bio_decode(spark):
     tokens = spark.createDataFrame(
         [
