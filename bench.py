@@ -257,6 +257,30 @@ def _run_phase(args: list[str]) -> dict:
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
 SCALE_4N = SCALE_N * 4
 
+# Medians over repeats: this box is multi-tenant at the hypervisor level
+# (the r02 driver bench measured the identical WAND phase 2x slower than
+# a clean run minutes apart, inverting the WAND-vs-naive comparison).
+# Every measured phase runs REPEATS times in its own fresh JVM; the
+# reported number is the per-phase/per-query MEDIAN, with min..max
+# spread recorded alongside so an inverted comparison is visibly noise.
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS",
+                                   str(REPEATS)))
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+
+
+def _spread(xs: list[float]) -> list[float]:
+    return [round(min(xs), 3), round(max(xs), 3)]
+
+
+def _build_runs(args: list[str], repeats: int) -> list[float]:
+    return [_run_phase(args)["elapsed"] for _ in range(repeats)]
+
 
 def main() -> None:
     os.makedirs(WORK, exist_ok=True)
@@ -265,24 +289,42 @@ def main() -> None:
     # the workload shape whose N->4N behavior mirrors a compute-bound
     # cluster; JVM-shuffle-heavy shapes saturate this single box's memory
     # bus at ~8 threads and measure the bus, not the engine)
-    t_n = _run_phase(["--phase", "build", "--cores", str(SCALE_N),
-                      "--plan", "spimi", "--mode", "chem"])["elapsed"]
-    t_4n = _run_phase(["--phase", "build", "--cores", str(SCALE_4N),
-                       "--plan", "spimi", "--mode", "chem"])["elapsed"]
+    t_n_runs = _build_runs(["--phase", "build", "--cores", str(SCALE_N),
+                            "--plan", "spimi", "--mode", "chem"],
+                           SCALE_REPEATS)
+    t_4n_runs = _build_runs(["--phase", "build", "--cores", str(SCALE_4N),
+                             "--plan", "spimi", "--mode", "chem"],
+                            SCALE_REPEATS)
+    t_n, t_4n = _median(t_n_runs), _median(t_4n_runs)
     # absolute-throughput headline: the declarative JVM plan at full cores
     # (also produces the sharded index the query phase reads)
-    t_fast = _run_phase(["--phase", "build", "--cores", str(CPUS),
-                         "--plan", "shuffle"])["elapsed"]
-    # skew evidence: same token mass, but 25 terms with df = SCALE_DOCS
-    # (every doc). The salted run encode + compressed-byte merge must keep
-    # the build within ~1.3x of the uniform corpus — without salting the
-    # hot keys would serialize in single reducers.
+    t_fast_runs = _build_runs(["--phase", "build", "--cores", str(CPUS),
+                               "--plan", "shuffle"], REPEATS)
+    t_fast = _median(t_fast_runs)
+    # skew evidence: same token mass, but len(BOILER.split()) terms with
+    # df = SCALE_DOCS (every doc). The salted run encode + compressed-byte
+    # merge must keep the build within ~1.3x of the uniform corpus —
+    # without salting the hot keys would serialize in single reducers.
     _run_phase(["--phase", "gen_skew"])
-    t_skew = _run_phase(["--phase", "build", "--cores", str(CPUS),
-                         "--plan", "shuffle", "--corpus", "skew"])["elapsed"]
-    qres = _run_phase(["--phase", "queries"])
+    t_skew_runs = _build_runs(["--phase", "build", "--cores", str(CPUS),
+                               "--plan", "shuffle", "--corpus", "skew"],
+                              REPEATS)
+    t_skew = _median(t_skew_runs)
+    q_runs = [_run_phase(["--phase", "queries"]) for _ in range(REPEATS)]
+    q_keys = list(q_runs[0]["timings"])
+    q_series = {k: [r["timings"][k] for r in q_runs] for k in q_keys}
+    qres = {
+        "timings": {k: round(_median(v), 3) for k, v in q_series.items()},
+        "wand_sec": _median([r["wand_sec"] for r in q_runs]),
+        "p50": _median([r["p50"] for r in q_runs]),
+        "n_queries": q_runs[0]["n_queries"],
+    }
 
     timings = {"index_build_synthetic": round(t_fast, 3), **qres["timings"]}
+    spread = {
+        "index_build_synthetic": _spread(t_fast_runs),
+        **{k: _spread(v) for k, v in q_series.items()},
+    }
     thr_n = SCALE_DOCS / t_n
     thr_4n = SCALE_DOCS / t_4n
     thr_fast = SCALE_DOCS / t_fast
@@ -294,6 +336,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
+        "repeats": {"phases": REPEATS, "scaling": SCALE_REPEATS},
         "sf": float(SF),
         "throughput": {
             "index_docs_per_sec_best": round(thr_fast, 1),
@@ -310,11 +354,14 @@ def main() -> None:
             "cores_4N": SCALE_4N,
             "t_N_sec": round(t_n, 3),
             "t_4N_sec": round(t_4n, 3),
+            "t_N_runs": [round(x, 3) for x in t_n_runs],
+            "t_4N_runs": [round(x, 3) for x in t_4n_runs],
             "efficiency": round(eff, 3),
         },
         "skew": {
             "t_uniform_sec": round(t_fast, 3),
             "t_skew_sec": round(t_skew, 3),
+            "t_skew_runs": [round(x, 3) for x in t_skew_runs],
             "skew_over_uniform": round(t_skew / t_fast, 3),
         },
     }
@@ -326,7 +373,12 @@ def main() -> None:
             "= tokenize/normalize -> doc_terms -> salted SPIMI run encode "
             "-> compressed-run byte merge -> sharded parquet write. Each "
             "measurement runs in its own JVM (subprocess): a reused JVM "
-            "carries the previous phase's heap and contaminates timings.\n\n"
+            "carries the previous phase's heap and contaminates timings. "
+            f"Every phase is measured {REPEATS}x (scaling pair "
+            f"{SCALE_REPEATS}x); reported numbers are MEDIANS with the "
+            "min..max spread alongside — this box is multi-tenant at the "
+            "hypervisor level and single runs have inverted comparisons "
+            "before (see Run-to-run variance).\n\n"
             "## Scaling evidence (north_rule: N vs 4N executors; sandbox "
             f"proxy local[{SCALE_N}] vs local[{SCALE_4N}], same input)\n\n"
             "Measured on the chem-analyzer SPIMI build (the engine's full "
@@ -337,11 +389,15 @@ def main() -> None:
             "85.9s at 1/2/4 cores); past ~8 threads the single shared memory "
             "bus saturates and the core-count ratio measures the bus, not "
             "the engine — cluster executors do not share a memory bus.\n\n"
-            "| config | wall (s) | docs/sec |\n|---|---|---|\n"
-            f"| local[{SCALE_N}] (N) | {t_n:.2f} | {thr_n:.0f} |\n"
-            f"| local[{SCALE_4N}] (4N) | {t_4n:.2f} | {thr_4n:.0f} |\n\n"
+            "| config | wall median (s) | runs (s) | docs/sec |\n"
+            "|---|---|---|---|\n"
+            f"| local[{SCALE_N}] (N) | {t_n:.2f} | "
+            f"{', '.join(f'{x:.1f}' for x in t_n_runs)} | {thr_n:.0f} |\n"
+            f"| local[{SCALE_4N}] (4N) | {t_4n:.2f} | "
+            f"{', '.join(f'{x:.1f}' for x in t_4n_runs)} | {thr_4n:.0f} |\n\n"
             f"**Scaling efficiency: {eff:.3f}** "
-            "(target >= 0.8; eff = (thr_4N/thr_N)/(cores_4N/cores_N))\n\n"
+            "(target >= 0.8; eff = (thr_4N/thr_N)/(cores_4N/cores_N), "
+            "medians)\n\n"
             "## Absolute throughput (best plan)\n\n"
             "The declarative `shuffle` plan (JVM codegen whitespace "
             "tokenize + skew-free groupBy(doc_id,term) + salted run merge) "
@@ -379,15 +435,24 @@ def main() -> None:
             "the skewed build can be CHEAPER — the failure mode being "
             "guarded against (hot keys serializing in single reducers) "
             "would show up as a ratio of ~S/4 instead.\n\n"
-            "| corpus | wall (s) | docs/sec |\n|---|---|---|\n"
-            f"| uniform | {t_fast:.2f} | {SCALE_DOCS / t_fast:.0f} |\n"
-            f"| skewed | {t_skew:.2f} | {SCALE_DOCS / t_skew:.0f} |\n\n"
+            "| corpus | wall median (s) | runs (s) | docs/sec |\n"
+            "|---|---|---|---|\n"
+            f"| uniform | {t_fast:.2f} | "
+            f"{', '.join(f'{x:.1f}' for x in t_fast_runs)} "
+            f"| {SCALE_DOCS / t_fast:.0f} |\n"
+            f"| skewed | {t_skew:.2f} | "
+            f"{', '.join(f'{x:.1f}' for x in t_skew_runs)} "
+            f"| {SCALE_DOCS / t_skew:.0f} |\n\n"
             f"**Skew overhead: {t_skew / t_fast:.3f}x** (target <= ~1.3x; an "
-            "unsalted groupBy(term) build would serialize the 25 hot "
-            "postings in single reducers).\n\n"
-            "## Query timings (local[{}], sf={})\n\n".format(CPUS, SF)
-            + "| query | sec |\n|---|---|\n"
-            + "".join(f"| {k} | {v} |\n" for k, v in timings.items())
+            f"unsalted groupBy(term) build would serialize the "
+            f"{len(BOILER.split())} hot postings in single reducers).\n\n"
+            "## Query timings (local[{}], sf={}, median of {} runs)\n\n"
+            .format(CPUS, SF, REPEATS)
+            + "| query | median (s) | min..max (s) |\n|---|---|---|\n"
+            + "".join(
+                f"| {k} | {v} | {spread[k][0]}..{spread[k][1]} |\n"
+                for k, v in timings.items()
+            )
         )
 
     print(json.dumps(result))
