@@ -35,6 +35,15 @@ BM25_QUERY_SET = [
     (4, "stream batch vector"),
 ]
 
+# conjunctive (AND) query set: multi-term queries where AND is selective,
+# plus an out-of-vocabulary term that must yield zero rows
+CONJ_QUERY_SET = [
+    (0, "the data"),
+    (1, "window merge"),
+    (2, "customer table scan"),
+    (3, "data zzznope"),
+]
+
 _T = "regexp_split_to_array(text, '\\s+')"
 _TOKS_CTE = (
     "toks AS (SELECT doc_id, t.term FROM documents, "
@@ -158,6 +167,21 @@ def q_bm25_wand_sharded(spark, sf_dir):
     return bm25.bm25_wand_sharded(queries, runs, n, avgdl, k=10)
 
 
+def q_bm25_conjunctive(spark, sf_dir):
+    """AND-semantics BM25 top-k: only docs containing EVERY query term
+    score (posting-list intersection before impact summing); a query
+    with an out-of-vocabulary term returns no rows. Oracle = the BM25
+    SQL with HAVING count(DISTINCT term) = |query terms|."""
+    docs = _docs(spark, sf_dir)
+    dt = ib.build_doc_terms(docs).cache()
+    ds = ib.build_doc_stats(dt).cache()
+    n, avgdl = ib.corpus_stats(ds)
+    postings = ib.build_postings(dt, ds, avgdl, salt=4)
+    queries = spark.createDataFrame(CONJ_QUERY_SET,
+                                    "query_id int, query string")
+    return bm25.bm25_conjunctive(queries, postings, n, avgdl, k=10)
+
+
 def q_stopword_filter(spark, sf_dir):
     from cer_for_mti_spark.functions.analyze import DEFAULT_STOP_WORDS
 
@@ -240,6 +264,17 @@ def q_dup_components(spark, sf_dir):
         _doubled(spark, sf_dir), num_hashes=16, bands=4, k=3, threshold=0.5
     )
     return dedup.dup_components(pairs)
+
+
+def q_dedup_keep_one(spark, sf_dir):
+    """Keep-one-per-group over the doubled corpus: MinHash+LSH pairs ->
+    star-rounds components -> anti-join the non-canonical members out.
+    Every duplicated doc must collapse to its lower id."""
+    d = _doubled(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        d, num_hashes=16, bands=4, k=3, threshold=0.5
+    )
+    return dedup.keep_canonical(d.select("doc_id"), pairs)
 
 
 def q_embedding_near_dup(spark, sf_dir):
@@ -828,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_wand": q_bm25_wand,
         "bm25_wand_sharded": q_bm25_wand_sharded,
+        "bm25_conjunctive": q_bm25_conjunctive,
         "stopword_filter": q_stopword_filter,
         "eval_micro_prf": q_eval_micro_prf,
         "levenshtein_fuzzy": q_levenshtein_fuzzy,
@@ -836,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "minhash_lsh": q_minhash_lsh,
         "dup_components": q_dup_components,
+        "dedup_keep_one": q_dedup_keep_one,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
@@ -875,11 +912,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # --- oracle SQL -------------------------------------------------------------
 
-def _bm25_sql() -> str:
+def _bm25_sql(query_set=None, conjunctive: bool = False) -> str:
+    query_set = query_set if query_set is not None else BM25_QUERY_SET
     vals = ", ".join(
         f"({qid}, '{t}')"
-        for qid, q in BM25_QUERY_SET
+        for qid, q in query_set
         for t in dict.fromkeys(q.split())
+    )
+    having = (
+        "  HAVING count(DISTINCT dt.term) = "
+        "(SELECT count(*) FROM qt q2 WHERE q2.query_id = qt.query_id)"
+        if conjunctive else ""
     )
     return f"""
 WITH {_TOKS_CTE}, {_DT_CTE},
@@ -896,7 +939,8 @@ scored AS (
            AS score
   FROM qt JOIN dt USING (term) JOIN tdf USING (term)
        JOIN ds ON dt.doc_id = ds.doc_id, cs
-  GROUP BY 1, 2)
+  GROUP BY 1, 2
+{having})
 SELECT query_id, doc_id, score, rank FROM (
   SELECT *, row_number() OVER (
       PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank
@@ -965,6 +1009,25 @@ reach AS (SELECT src AS node, src AS lbl FROM edges
           SELECT e.dst AS node, r.lbl
           FROM reach r JOIN edges e ON e.src = r.node)
 SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node
+"""
+
+
+def _dedup_keep_one_sql() -> str:
+    """Survivors of keep-one-per-group: everything except non-canonical
+    closure members (component != doc_id)."""
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+pairs AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (SELECT src AS node, src AS lbl FROM edges
+          UNION
+          SELECT e.dst AS node, r.lbl
+          FROM reach r JOIN edges e ON e.src = r.node),
+comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach
+         GROUP BY node)
+SELECT d.doc_id FROM dup d LEFT JOIN comp c ON d.doc_id = c.doc_id
+WHERE c.component IS NULL OR c.component = d.doc_id
 """
 
 
@@ -1407,6 +1470,7 @@ SELECT doc_id, sum(tf)::BIGINT AS doclen FROM dt GROUP BY 1
         "bm25_topk": _bm25_sql(),
         "bm25_wand": _bm25_sql(),
         "bm25_wand_sharded": _bm25_sql(),
+        "bm25_conjunctive": _bm25_sql(CONJ_QUERY_SET, conjunctive=True),
         "stopword_filter": f"""
 WITH {_TOKS_CTE}, {_DT_CTE}
 SELECT doc_id, count(*)::BIGINT AS n_terms, sum(tf)::BIGINT AS n_tokens
@@ -1472,6 +1536,7 @@ FROM dup GROUP BY 1 HAVING count(*) > 1
 """,
         "minhash_lsh": _minhash_sql(),
         "dup_components": _dup_components_sql(),
+        "dedup_keep_one": _dedup_keep_one_sql(),
         "simhash": _simhash_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
         "embedding_near_dup": _embedding_near_dup_sql(),

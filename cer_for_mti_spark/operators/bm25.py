@@ -325,6 +325,70 @@ def bm25_wand_sharded(queries: DataFrame, runs: DataFrame, n_docs: int,
     )
 
 
+def bm25_conjunctive(queries: DataFrame, postings: DataFrame, n_docs: int,
+                     avgdl: float, k: int = 10,
+                     mode: str = "simple") -> DataFrame:
+    """AND-semantics top-k: only documents containing EVERY query term
+    are scored (the classic conjunctive retrieval mode; the reference's
+    whole-document term-set matching is conjunctive at n=1). Engine
+    path: broadcast-prune postings to the query terms, co-locate per
+    query, numpy-intersect the doc-id lists across the query's cursors,
+    sum impacts at the intersection only. A query with an out-of-
+    vocabulary term returns no rows (no doc can contain all terms).
+
+    Scale shape: identical to bm25_wand's (the intersection is cheaper
+    than scoring — it prunes before summing); for bounded task bytes at
+    10^12 docs run it per (query, bucket) over runs exactly like
+    bm25_wand_sharded — conjunctive-ness is per-doc, so bucket-local
+    intersection is exact."""
+    qt = query_terms(queries, mode)
+    need = {
+        int(r["query_id"]): int(r["n"])
+        for r in qt.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    fetched = postings.join(F.broadcast(qt), "term")
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        empty = pd.DataFrame({
+            "query_id": pd.Series([], dtype="int64"),
+            "doc_id": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="float64"),
+            "rank": pd.Series([], dtype="int64"),
+        })
+        if len(pdf) < need[qid]:  # some term has no posting at all
+            return empty
+        rows = [pdf.iloc[i] for i in range(len(pdf))]
+        rows.sort(key=lambda r: r["term"])  # deterministic accumulation
+        decoded = []
+        for row in rows:
+            ids, imps, _, _, _ = _decode_cursor(row, n_docs, avgdl)
+            decoded.append((ids, imps))
+        common = decoded[0][0]
+        for ids, _ in decoded[1:]:
+            common = np.intersect1d(common, ids, assume_unique=True)
+        if not len(common):
+            return empty
+        score = np.zeros(len(common), dtype=np.float64)
+        for ids, imps in decoded:
+            score += imps[np.searchsorted(ids, common)]
+        scores_r = np.round(score, 6)
+        if len(common) > k:
+            kth = np.partition(scores_r, len(scores_r) - k)[len(scores_r) - k]
+            mask = scores_r >= kth
+            common, scores_r = common[mask], scores_r[mask]
+        final = np.lexsort((common, -scores_r))[:k]
+        return pd.DataFrame({
+            "query_id": np.full(len(final), qid, dtype=np.int64),
+            "doc_id": common[final],
+            "score": scores_r[final],
+            "rank": np.arange(1, len(final) + 1, dtype=np.int64),
+        })
+
+    return fetched.groupBy("query_id").applyInPandas(score_group, TOPK_SCHEMA)
+
+
 def _query_term_set(queries_rows, mode: str) -> set[str]:
     """Driver-side query analysis mirroring the index tokenizer exactly
     (incl. greek variants for chem+greek — the pruned scan must fetch

@@ -350,6 +350,26 @@ def dup_components(pairs: DataFrame, a_col: str = "doc_a",
     )
 
 
+def keep_canonical(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                   a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:
+    """Keep ONE document per near-dup group — the step after
+    dup_components in a real training-data dedup pipeline: the group's
+    minimum doc id is canonical, every other member is dropped, and docs
+    in no pair survive untouched.
+
+    Shape: connected components (O(log n) star rounds) produce the
+    non-canonical id set — at worst the number of dropped duplicates,
+    typically a small fraction of the corpus — then ONE anti-join
+    against the docs relation. The corpus is scanned once; the only
+    corpus-sized shuffle is the anti-join's, and when the loser set is
+    small Catalyst broadcasts it (no shuffle at all)."""
+    comp = dup_components(pairs, a_col=a_col, b_col=b_col)
+    losers = comp.filter(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
 def embedding_near_dup(emb: DataFrame, id_col: str = "vec_id",
                        vec_col: str = "embedding",
                        threshold: float = 0.95, dim: int = 64,

@@ -497,6 +497,7 @@ def _probe_cells(q_rows: list, cent_rows: list, nprobe: int) -> dict:
 def write_ann_index(emb: DataFrame, path: str, n_centroids: int = 16,
                     m: int = 8, ks: int = 16, sample_size: int = 2048,
                     kmeans_iter: int = 5, pq_iter: int = 8,
+                    store_vectors: bool = False,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding") -> None:
     """Persist the IVF-PQ index: PQ codes partitioned BY CELL (so a
@@ -509,7 +510,14 @@ def write_ann_index(emb: DataFrame, path: str, n_centroids: int = 16,
     Layout: <path>/codes/cell=<i>/ (id, codes binary(m)),
     <path>/centroids (c_id, c_vec), <path>/codebooks (j, c, vec).
     At 10^12 vectors the codes table is ~m bytes/vector; everything a
-    query touches is nprobe cell directories of that."""
+    query touches is nprobe cell directories of that.
+
+    store_vectors=True additionally writes <path>/vectors/cell=<i>/
+    (id, v array<double>, vnorm) — the EXACT-rerank layer: dim*8
+    bytes/vector instead of m, but ivf_topk_from_index then scores true
+    cosine inside the probed cells (IVF-Flat). At 10^12 vectors you
+    usually keep only codes; the vectors layer is the quality knob for
+    corpora that fit dim*8 bytes each."""
     cents = kmeans_centroids(emb, n_centroids=n_centroids,
                              n_iter=kmeans_iter, id_col=id_col,
                              vec_col=vec_col)
@@ -525,6 +533,12 @@ def write_ann_index(emb: DataFrame, path: str, n_centroids: int = 16,
     codes.repartition(n_centroids, "cell").write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(f"{path}/codes")
+    if store_vectors:
+        assigned.select("id", "v", "vnorm", "cell").repartition(
+            n_centroids, "cell"
+        ).write.mode("overwrite").partitionBy("cell").parquet(
+            f"{path}/vectors"
+        )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     book_rows = [
         (j, c, [float(x) for x in books[j, c]])
@@ -553,6 +567,49 @@ def read_ann_index(spark, path: str):
     for r in brows:
         books[r["j"], r["c"]] = r["vec"]
     return codes, cent_rows, books
+
+
+def ivf_topk_from_index(spark, path: str, queries: DataFrame, k: int = 5,
+                        nprobe: int = 2, q_id_col: str = "q_id",
+                        q_vec_col: str = "q_vec") -> DataFrame:
+    """IVF-Flat top-k over a written index's EXACT-vector layer
+    (write_ann_index(store_vectors=True)): probe list -> literal cell
+    filter (partition pruning), true cosine inside the probed cells
+    only, per-query own-cell restriction via the broadcast qcells join.
+    Output matches ivf_topk given the same centroids."""
+    vectors = spark.read.option("basePath", f"{path}/vectors").parquet(
+        f"{path}/vectors"
+    )
+    cent_rows = spark.read.parquet(f"{path}/centroids").select(
+        "c_id", _as_double("c_vec").alias("cv")
+    ).collect()
+    q_rows = queries.select(
+        F.col(q_id_col).alias("qid"), _as_double(q_vec_col).alias("q")
+    ).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "q_id long, vec_id long, cosine double, rank int")
+    cells_by_q = _probe_cells(q_rows, cent_rows, nprobe)
+    all_cells = sorted({c for cs in cells_by_q.values() for c in cs})
+    pruned = vectors.filter(F.col("cell").isin(all_cells))
+    qcells = spark.createDataFrame(
+        [(int(r["qid"]), list(r["q"]), int(c))
+         for r in q_rows for c in cells_by_q[int(r["qid"])]],
+        "qid long, q array<double>, cell long",
+    ).withColumn("qnorm", _norm(F.col("q")))
+    dot = F.aggregate(
+        F.zip_with("v", "q", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = pruned.join(F.broadcast(qcells), "cell").withColumn(
+        "cosine", F.round(dot / (F.col("vnorm") * F.col("qnorm")), 6)
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("q_id"), F.col("id").alias("vec_id"),
+                "cosine", "rank")
+    )
 
 
 def ann_topk_from_index(spark, path: str, queries: DataFrame, k: int = 5,

@@ -135,6 +135,18 @@ def test_dup_components_long_chain(spark):
     assert got == {i: 0 for i in range(401)}
 
 
+def test_keep_canonical(spark):
+    """Keep-one-per-group: chained groups collapse to their min id;
+    unpaired docs survive."""
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id
+           for r in dedup.keep_canonical(docs, pairs).collect()}
+    assert got == {0, 1, 4, 5, 7}
+
+
 def test_dup_components_matches_union_find(spark):
     """Property check: min-label propagation equals a driver-side
     union-find closure on a pseudo-random (seeded) edge set with chains,

@@ -45,6 +45,42 @@ def test_rank_identity_three_paths(spark, index_300, queries):
     assert len(a) > 0
 
 
+def test_bm25_conjunctive(spark, index_300, queries):
+    """AND semantics: conjunctive top-k equals the disjunctive scorer
+    restricted to docs containing EVERY query term, re-ranked; a query
+    with an OOV term yields nothing; single-term queries match WAND."""
+    dt, ds, postings, n, avgdl = index_300
+    conj = bm25.bm25_conjunctive(queries, postings, n, avgdl, k=10,
+                                 mode="chem")
+    got = _key(conj.collect())
+    # ground truth: full (unranked) naive scores + all-terms doc filter
+    naive_all = bm25.bm25_naive(queries, dt, ds, n, avgdl, k=1 << 30,
+                                mode="chem")
+    qt = bm25.query_terms(queries, mode="chem")
+    nterms = {r["query_id"]: r["n"] for r in
+              qt.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    hits = (
+        dt.join(qt, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("term").alias("nt"))
+        .collect()
+    )
+    allowed = {(r["query_id"], r["doc_id"]) for r in hits
+               if r["nt"] == nterms[r["query_id"]]}
+    per_q = {}
+    for r in naive_all.collect():
+        if (r.query_id, r.doc_id) in allowed:
+            per_q.setdefault(r.query_id, []).append(
+                (-round(r.score, 6), r.doc_id))
+    want = []
+    for qid, lst in per_q.items():
+        lst.sort()
+        for i, (negs, d) in enumerate(lst[:10], start=1):
+            want.append((qid, i, d, -negs))
+    assert got == sorted(want) and len(got) > 0
+    assert not any(q == 3 for q, _, _, _ in got)  # OOV query -> no rows
+
+
 def test_identity_rare_term_rank1(spark, webtext, index_300):
     """Indexing a doc and querying a term unique to it returns that doc at
     rank 1 (the engine's analogue of the reference's gold self-eval

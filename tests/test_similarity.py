@@ -235,7 +235,7 @@ def test_ann_index_roundtrip_and_pruning(spark, tmp_path):
     )
     path = str(tmp_path / "ann_idx")
     similarity.write_ann_index(emb2, path, n_centroids=8, m=4, ks=16,
-                               sample_size=200)
+                               sample_size=200, store_vectors=True)
     idx = similarity.read_ann_index(spark, path)
     got = {(r.q_id, r.vec_id, r.adc_score, r.rank)
            for r in similarity.ann_topk_from_index(
@@ -257,6 +257,17 @@ def test_ann_index_roundtrip_and_pruning(spark, tmp_path):
         probe.explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "cell" in plan
+
+    # IVF-Flat layer: exact cosine from the written vectors matches the
+    # in-memory ivf_topk with the same (deterministic) centroids
+    got_flat = {(r.q_id, r.vec_id, r.cosine, r.rank)
+                for r in similarity.ivf_topk_from_index(
+                    spark, path, qs2, k=5, nprobe=2).collect()}
+    want_flat = {(r.q_id, r.vec_id, r.cosine, r.rank)
+                 for r in similarity.ivf_topk(
+                     emb2, qs2, k=5, n_centroids=8, nprobe=2,
+                     centroids=cents).collect()}
+    assert got_flat == want_flat and len(got_flat) > 0
 
 
 def test_ivf_pq_cluster_recall(spark):
