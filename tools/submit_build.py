@@ -32,6 +32,9 @@ def main() -> None:
     ap.add_argument("--runs-index", action="store_true",
                     help="also write the run-level index (bucketed, for "
                          "doc-range-sharded query scoring)")
+    ap.add_argument("--positional-index", action="store_true",
+                    help="also write the positional runs index (for "
+                         "doc-range-sharded phrase search)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -54,6 +57,13 @@ def main() -> None:
         ib.write_runs_index(runs, doc_stats, args.output + "_runs",
                             num_shards=args.shards)
         extra["runs_index"] = args.output + "_runs"
+    if args.positional_index:
+        from cer_for_mti_spark.operators import phrase as ph
+
+        pos_runs = ph.build_positional_runs(docs, mode=args.mode, n_docs=n)
+        ph.write_positional_runs_index(pos_runs, args.output + "_pos",
+                                       num_shards=args.shards)
+        extra["positional_index"] = args.output + "_pos"
     elapsed = time.time() - t0
     print(json.dumps({
         "n_docs": n, "avgdl": round(avgdl, 4),

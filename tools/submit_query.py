@@ -1,14 +1,18 @@
-"""spark-submit entry point: BM25 top-k over a written index.
+"""spark-submit entry point: queries over a written index.
 
     spark-submit --py-files /tmp/cer_for_mti_spark.zip \
         tools/submit_query.py --index <index dir> \
         --query "insulin" --query "chemical binding" \
-        [--k 10] [--mode chem] [--shards 32] [--sharded]
+        [--k 10] [--mode chem] [--shards 32] [--sharded] \
+        [--conjunctive] [--phrase]
 
-Scan-pruned (shard partition pruning + term row-group pushdown); with
---sharded the index dir must be a runs index (submit_build --runs-index)
-and scoring runs per (query, doc-range bucket) with bounded task bytes.
-Prints one JSON line per (query, rank).
+Scan-pruned (shard partition pruning + term row-group pushdown).
+--sharded: index dir must be a runs index (submit_build --runs-index);
+scoring runs per (query, doc-range bucket) with bounded task bytes.
+--conjunctive: AND semantics — only docs containing every query term.
+--phrase: index dir must be a positional runs index (submit_build
+--positional-index); queries are exact-adjacency phrases; output rows
+are (query, doc_id, n_matches). Prints one JSON line per result row.
 """
 
 from __future__ import annotations
@@ -26,6 +30,8 @@ def main() -> None:
                     choices=["simple", "chem", "chem+greek"])
     ap.add_argument("--shards", type=int, default=32)
     ap.add_argument("--sharded", action="store_true")
+    ap.add_argument("--conjunctive", action="store_true")
+    ap.add_argument("--phrase", action="store_true")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -34,12 +40,37 @@ def main() -> None:
     from cer_for_mti_spark.operators import index_build as ib
 
     spark = SparkSession.builder.appName("cer_bm25_query").getOrCreate()
-    ds = spark.read.parquet(f"{args.index}/doc_stats")
-    n, avgdl = ib.corpus_stats(ds)
     queries = spark.createDataFrame(
         list(enumerate(args.query)), "query_id int, query string"
     )
-    if args.sharded:
+    qtext = dict(enumerate(args.query))
+
+    if args.phrase:
+        from cer_for_mti_spark.operators import phrase as ph
+
+        hits = ph.phrase_search_sharded_from_index(
+            spark, args.index, queries, mode=args.mode,
+            num_shards=args.shards,
+        )
+        for r in hits.orderBy("phrase_id", "doc_id").collect():
+            print(json.dumps({
+                "query_id": r["phrase_id"], "query": qtext[r["phrase_id"]],
+                "doc_id": r["doc_id"], "n_matches": r["n_matches"],
+            }))
+        spark.stop()
+        return
+
+    ds = spark.read.parquet(f"{args.index}/doc_stats")
+    n, avgdl = ib.corpus_stats(ds)
+    if args.conjunctive:
+        pruned = bm25.read_postings_pruned(
+            spark, args.index,
+            sorted(bm25._query_term_set(queries.collect(), args.mode)),
+            num_shards=args.shards,
+        )
+        out = bm25.bm25_conjunctive(queries, pruned, n, avgdl, k=args.k,
+                                    mode=args.mode)
+    elif args.sharded:
         out = bm25.bm25_wand_sharded_from_index(
             spark, args.index, queries, n, avgdl, k=args.k, mode=args.mode,
             num_shards=args.shards,
@@ -49,7 +80,6 @@ def main() -> None:
             spark, args.index, queries, n, avgdl, k=args.k, mode=args.mode,
             num_shards=args.shards,
         )
-    qtext = dict(enumerate(args.query))
     for r in out.orderBy("query_id", "rank").collect():
         print(json.dumps({
             "query_id": r["query_id"], "query": qtext[r["query_id"]],
