@@ -182,6 +182,20 @@ def q_bm25_conjunctive(spark, sf_dir):
     return bm25.bm25_conjunctive(queries, postings, n, avgdl, k=10)
 
 
+def q_bm25_conjunctive_sharded(spark, sf_dir):
+    """Doc-range-sharded AND scoring: bucket-local intersection is exact
+    (all of a doc's postings live in its bucket), per-bucket top-k +
+    tiny merge. Rank-identical to bm25_conjunctive; same oracle."""
+    docs = _docs(spark, sf_dir)
+    dt = ib.build_doc_terms(docs).cache()
+    ds = ib.build_doc_stats(dt).cache()
+    n, avgdl = ib.corpus_stats(ds)
+    runs = ib.build_posting_runs(dt, ds, avgdl, salt=4, n_docs=n)
+    queries = spark.createDataFrame(CONJ_QUERY_SET,
+                                    "query_id int, query string")
+    return bm25.bm25_conjunctive_sharded(queries, runs, n, avgdl, k=10)
+
+
 def q_stopword_filter(spark, sf_dir):
     from cer_for_mti_spark.functions.analyze import DEFAULT_STOP_WORDS
 
@@ -864,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand": q_bm25_wand,
         "bm25_wand_sharded": q_bm25_wand_sharded,
         "bm25_conjunctive": q_bm25_conjunctive,
+        "bm25_conjunctive_sharded": q_bm25_conjunctive_sharded,
         "stopword_filter": q_stopword_filter,
         "eval_micro_prf": q_eval_micro_prf,
         "levenshtein_fuzzy": q_levenshtein_fuzzy,
@@ -1471,6 +1486,8 @@ SELECT doc_id, sum(tf)::BIGINT AS doclen FROM dt GROUP BY 1
         "bm25_wand": _bm25_sql(),
         "bm25_wand_sharded": _bm25_sql(),
         "bm25_conjunctive": _bm25_sql(CONJ_QUERY_SET, conjunctive=True),
+        "bm25_conjunctive_sharded": _bm25_sql(CONJ_QUERY_SET,
+                                              conjunctive=True),
         "stopword_filter": f"""
 WITH {_TOKS_CTE}, {_DT_CTE}
 SELECT doc_id, count(*)::BIGINT AS n_terms, sum(tf)::BIGINT AS n_tokens

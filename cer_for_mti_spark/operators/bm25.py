@@ -389,6 +389,98 @@ def bm25_conjunctive(queries: DataFrame, postings: DataFrame, n_docs: int,
     return fetched.groupBy("query_id").applyInPandas(score_group, TOPK_SCHEMA)
 
 
+def bm25_conjunctive_sharded(queries: DataFrame, runs: DataFrame,
+                             n_docs: int, avgdl: float, k: int = 10,
+                             mode: str = "simple") -> DataFrame:
+    """Doc-range-sharded conjunctive top-k — bm25_conjunctive with
+    bounded per-task bytes, rank-identical to it.
+
+    Correctness: buckets are doc-id ranges consistent across terms
+    (build_posting_runs contract), so a doc contains ALL query terms iff
+    its own bucket's slices of every term's posting contain it —
+    bucket-local intersection is exact, and each bucket's top-k is a
+    superset filter of the global conjunctive top-k (scores are complete
+    within the bucket). One window merges the S·k candidate rows.
+    idf uses the GLOBAL df (run-local df summed per term first).
+
+    A bucket missing one of the query's terms simply produces no rows
+    (no doc in that range contains all terms); a query whose term is
+    missing EVERYWHERE yields nothing from every bucket — the OOV
+    contract holds without any global coordination."""
+    qt = query_terms(queries, mode)
+    need = {
+        int(r["query_id"]): int(r["n"])
+        for r in qt.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    fetched = runs.join(F.broadcast(qt), "term")
+    gdf = (
+        runs.join(F.broadcast(qt.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.sum("df").alias("_gdf"))
+    )
+    fetched = (
+        fetched.join(F.broadcast(gdf), "term")
+        .drop("df")
+        .withColumnRenamed("_gdf", "df")  # _decode_cursor reads row["df"]
+    )
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        empty = pd.DataFrame({
+            "query_id": pd.Series([], dtype="int64"),
+            "doc_id": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="float64"),
+        })
+        # a (term, bucket) slice may arrive as several runs; merge the
+        # decoded arrays per term before intersecting
+        by_term: dict[str, list] = {}
+        for i in range(len(pdf)):
+            row = pdf.iloc[i]
+            by_term.setdefault(row["term"], []).append(row)
+        if len(by_term) < need[qid]:
+            return empty
+        decoded = []
+        for term in sorted(by_term):  # deterministic accumulation
+            ids_l, imps_l = [], []
+            for row in by_term[term]:
+                ids, imps, _, _, _ = _decode_cursor(row, n_docs, avgdl)
+                ids_l.append(ids)
+                imps_l.append(imps)
+            ids = np.concatenate(ids_l)
+            imps = np.concatenate(imps_l)
+            order = np.argsort(ids, kind="stable")
+            decoded.append((ids[order], imps[order]))
+        common = decoded[0][0]
+        for ids, _ in decoded[1:]:
+            common = np.intersect1d(common, ids, assume_unique=True)
+        if not len(common):
+            return empty
+        score = np.zeros(len(common), dtype=np.float64)
+        for ids, imps in decoded:
+            score += imps[np.searchsorted(ids, common)]
+        scores_r = np.round(score, 6)
+        if len(common) > k:
+            kth = np.partition(scores_r, len(scores_r) - k)[len(scores_r) - k]
+            mask = scores_r >= kth
+            common, scores_r = common[mask], scores_r[mask]
+        return pd.DataFrame({
+            "query_id": np.full(len(common), qid, dtype=np.int64),
+            "doc_id": common,
+            "score": scores_r,
+        })
+
+    cands = fetched.groupBy("query_id", "bucket").applyInPandas(
+        score_bucket, "query_id int, doc_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
 def _query_term_set(queries_rows, mode: str) -> set[str]:
     """Driver-side query analysis mirroring the index tokenizer exactly
     (incl. greek variants for chem+greek — the pruned scan must fetch

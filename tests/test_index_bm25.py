@@ -81,6 +81,24 @@ def test_bm25_conjunctive(spark, index_300, queries):
     assert not any(q == 3 for q, _, _, _ in got)  # OOV query -> no rows
 
 
+def test_bm25_conjunctive_sharded(spark, webtext, index_300, queries):
+    """Sharded conjunctive == merged conjunctive, including on runs
+    built from repartitioned (non-range) input."""
+    dt, ds, postings, n, avgdl = index_300
+    want = _key(bm25.bm25_conjunctive(queries, postings, n, avgdl, k=10,
+                                      mode="chem").collect())
+    runs = ib.build_posting_runs(dt, ds, avgdl, salt=5, n_docs=n)
+    got = _key(bm25.bm25_conjunctive_sharded(queries, runs, n, avgdl, k=10,
+                                             mode="chem").collect())
+    assert got == want and len(got) > 0
+    # non-range input partitions -> several runs per (term, bucket)
+    dt2 = ib.build_doc_terms(webtext.repartition(7), mode="chem")
+    runs2 = ib.build_posting_runs(dt2, ds, avgdl, salt=5, n_docs=n)
+    got2 = _key(bm25.bm25_conjunctive_sharded(queries, runs2, n, avgdl,
+                                              k=10, mode="chem").collect())
+    assert got2 == want
+
+
 def test_identity_rare_term_rank1(spark, webtext, index_300):
     """Indexing a doc and querying a term unique to it returns that doc at
     rank 1 (the engine's analogue of the reference's gold self-eval
