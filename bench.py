@@ -434,8 +434,10 @@ def main() -> None:
             "(e.g. the identical shuffle build measured 87.7s and 212.0s "
             "on different clean runs; scaling efficiency 1.000 vs 0.887) — "
             "the box appears multi-tenant at the hypervisor level, so "
-            "absolute numbers carry that noise. Cross-run best-clean "
-            "measurements are recorded in BENCH_LOCAL_r02*.json. One "
+            "absolute numbers carry that noise (two clean r03 runs "
+            "measured the identical uniform build at 39.2s and 64.0s; "
+            "scaling efficiency 0.858 and 0.848). Cross-run clean "
+            "measurements are recorded in BENCH_LOCAL_r0*.json. One "
             "measured in-process artifact is FIXED in this harness: "
             "caching the 12.5M-row doc_terms relation before the WAND "
             "timings pressured the JVM heap and inflated them 2-3x; the "
