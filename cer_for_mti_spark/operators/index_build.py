@@ -773,6 +773,85 @@ def write_runs_index(runs: DataFrame, doc_stats: DataFrame, path: str,
     doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
 
 
+def append_runs_index(spark, index_path: str, new_docs: DataFrame,
+                      avgdl: float, mode: str = "simple",
+                      salt: int | None = None, n_docs: int | None = None,
+                      num_shards: int = 32,
+                      on_conflict: str = "error") -> int:
+    """Incremental ingest for the RUN-level index layout: new documents
+    become new runs APPENDED into the existing shard directories — no
+    merge at all, because the sharded scorers already treat several runs
+    per (term, bucket) as independent cursors (bm25_wand_sharded) or
+    merge them at decode time (phrase); a doc's runs all carry its own
+    bucket id, so per-bucket completeness — the correctness invariant —
+    holds even when the append uses a different bucket width than the
+    base build (bucket-id collisions across widths only co-group MORE
+    docs per task, never split one).
+
+    Stats contract mirrors compact_index: impacts bake the PASSED avgdl
+    (normally the index's original — frozen Lucene-segment-style);
+    append-only is ENFORCED (existing doc_ids raise, or are anti-joined
+    out with on_conflict='skip'). doc_stats is appended too. Returns the
+    number of docs actually appended. Periodic stats refresh = full
+    rebuild, exactly as for the merged layout."""
+    ds = spark.read.parquet(f"{index_path}/doc_stats")
+    dt = build_doc_terms_narrow(new_docs, mode=mode)
+    old_ids = ds.select("doc_id")
+    n_overlap = dt.select("doc_id").distinct().join(
+        old_ids, "doc_id", "left_semi"
+    ).count()
+    if n_overlap:
+        if on_conflict == "error":
+            raise ValueError(
+                f"append_runs_index: {n_overlap} doc_ids already exist in "
+                f"the index at {index_path}; pass on_conflict='skip' to "
+                "drop the re-ingested docs."
+            )
+        if on_conflict != "skip":
+            raise ValueError(f"unknown on_conflict {on_conflict!r}")
+        dt = dt.join(old_ids, "doc_id", "left_anti")
+    delta_ds = dt.groupBy("doc_id").agg(F.max("doclen").alias("doclen"))
+    n_delta = delta_ds.count()
+    if not n_delta:
+        return 0
+    runs = build_posting_runs(dt, None, avgdl, salt=salt, n_docs=n_docs)
+    from cer_for_mti_spark.functions.hashing import md5_60
+
+    sharded = runs.withColumn(
+        "shard", F.pmod(md5_60(F.col("term")), F.lit(num_shards)).cast("int")
+    ).repartition(num_shards, "shard")
+    sharded.write.mode("append").partitionBy("shard").parquet(
+        f"{index_path}/runs"
+    )
+    delta_ds.write.mode("append").parquet(f"{index_path}/doc_stats")
+    return int(n_delta)
+
+
+def append_positional_runs_index(spark, index_path: str,
+                                 new_docs: DataFrame, mode: str = "simple",
+                                 salt: int | None = None,
+                                 n_docs: int | None = None,
+                                 num_shards: int = 32) -> None:
+    """Incremental ingest for the positional runs index — EXACT with no
+    frozen-stats caveat at all: positional runs carry no corpus
+    statistics (positions are doc-local), and phrase_search_sharded
+    merges multiple runs per (term, bucket) at decode time, so appended
+    docs' phrase hits are identical to a from-scratch build's. The
+    caller is responsible for doc_id disjointness (duplicate ids would
+    double-count matches, same contract as append_runs_index)."""
+    from cer_for_mti_spark.functions.hashing import md5_60
+    from cer_for_mti_spark.operators.phrase import build_positional_runs
+
+    runs = build_positional_runs(new_docs, mode=mode, salt=salt,
+                                 n_docs=n_docs)
+    sharded = runs.withColumn(
+        "shard", F.pmod(md5_60(F.col("term")), F.lit(num_shards)).cast("int")
+    ).repartition(num_shards, "shard")
+    sharded.write.mode("append").partitionBy("shard").parquet(
+        f"{index_path}/positional_runs"
+    )
+
+
 def build_index(docs: DataFrame, mode: str = "simple",
                 salt: int | None = None,
                 plan: str = "narrow") -> tuple[DataFrame, DataFrame, int, float]:

@@ -439,6 +439,75 @@ def test_compact_index_conflicts_and_rebuild(spark, tmp_path):
         key_full(scratch)
 
 
+def test_append_runs_index(spark, tmp_path):
+    """Incremental ingest into the runs layout: appended docs' runs are
+    extra cursors; querying the appended index (frozen avgdl) is
+    rank-identical to scoring from-scratch runs over the full corpus at
+    the same avgdl. Overlapping doc_ids raise."""
+    from cer_for_mti_spark import datagen
+
+    full = datagen.generate_webtext(spark, 120, seed=17).cache()
+    old = full.filter(F.col("doc_id") < 80)
+    new = full.filter(F.col("doc_id") >= 80)
+    dt_old = ib.build_doc_terms(old).cache()
+    ds_old = ib.build_doc_stats(dt_old)
+    n_old, avgdl = ib.corpus_stats(ds_old)
+    idx = str(tmp_path / "runs_idx")
+    runs_old = ib.build_posting_runs(dt_old, ds_old, avgdl, salt=4,
+                                     n_docs=n_old)
+    ib.write_runs_index(runs_old, ds_old, idx, num_shards=8)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="already exist"):
+        ib.append_runs_index(spark, idx, full.filter(F.col("doc_id") >= 70),
+                             avgdl, salt=4, n_docs=120, num_shards=8)
+    n_added = ib.append_runs_index(spark, idx, new, avgdl, salt=4,
+                                   n_docs=120, num_shards=8)
+    assert n_added == 40
+
+    qs = spark.createDataFrame(
+        [(0, "the data"), (1, "insulin protein"), (2, "zzz")],
+        "query_id int, query string",
+    )
+    got = bm25.bm25_wand_sharded_from_index(spark, idx, qs, 120, avgdl,
+                                            k=10, num_shards=8)
+    dt_full = ib.build_doc_terms(full)
+    ds_full = ib.build_doc_stats(dt_full)
+    runs_full = ib.build_posting_runs(dt_full, ds_full, avgdl, salt=4,
+                                      n_docs=120)
+    want = bm25.bm25_wand_sharded(qs, runs_full, 120, avgdl, k=10)
+    assert _key(got.collect()) == _key(want.collect())
+    assert got.count() > 0
+    # appended doc_stats complete
+    assert spark.read.parquet(f"{idx}/doc_stats").count() == 120
+
+
+def test_append_positional_runs_index(spark, tmp_path):
+    """Positional append is exact (no corpus stats at all): phrase hits
+    from the appended index equal the merged-postings search over the
+    full corpus."""
+    from cer_for_mti_spark import datagen
+    from cer_for_mti_spark.operators import phrase as ph
+
+    full = datagen.generate_webtext(spark, 120, seed=19).cache()
+    old = full.filter(F.col("doc_id") < 80)
+    new = full.filter(F.col("doc_id") >= 80)
+    idx = str(tmp_path / "pos_idx")
+    runs_old = ph.build_positional_runs(old, salt=6, n_docs=120)
+    ph.write_positional_runs_index(runs_old, idx, num_shards=8)
+    ib.append_positional_runs_index(spark, idx, new, salt=6, n_docs=120,
+                                    num_shards=8)
+    qs = spark.createDataFrame([(0, "the the"), (1, "of the")],
+                               "query_id int, query string")
+    got = {(r.phrase_id, r.doc_id, r.n_matches)
+           for r in ph.phrase_search_sharded_from_index(
+               spark, idx, qs, num_shards=8).collect()}
+    positional = ph.build_positional_postings(full)
+    want = {(r.phrase_id, r.doc_id, r.n_matches)
+            for r in ph.phrase_search(qs, positional).collect()}
+    assert got == want and len(got) > 0
+
+
 def test_wand_sharded_from_index(spark, webtext, queries, tmp_path):
     """Written runs index: shard dirs prune (PartitionFilters), term
     predicates push down (PushedFilters), and the pruned sharded path is
