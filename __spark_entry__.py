@@ -312,6 +312,14 @@ def q_quality(spark, sf_dir):
     )
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (top-2-gram fraction, duplicated
+    5-gram fraction) in engine-stable parts-per-million (floor of the
+    identical IEEE division — round(,6) would land on half-ULP decimal
+    boundaries like 25/128 where engines' rounding modes disagree)."""
+    return textstats.repetition_stats(_docs(spark, sf_dir), as_ppm=True)
+
+
 def q_lang_id(spark, sf_dir):
     return textstats.lang_id(_docs(spark, sf_dir)).groupBy("lang_pred").agg(
         F.count(F.lit(1)).alias("n_docs")
@@ -892,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
         "quality": q_quality,
+        "repetition": q_repetition,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "winnow_fingerprint": q_winnow_fingerprint,
@@ -1043,6 +1052,42 @@ comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach
          GROUP BY node)
 SELECT d.doc_id FROM dup d LEFT JOIN comp c ON d.doc_id = c.doc_id
 WHERE c.component IS NULL OR c.component = d.doc_id
+"""
+
+
+def _repetition_sql() -> str:
+    """Replays repetition_stats(as_ppm=True): same lead-window n-grams,
+    same ((count * n) * 1e6) / n_tok association before floor so both
+    engines floor the identical IEEE double."""
+    g2 = "tok || ' ' || lead(tok, 1) OVER w"
+    g5 = (
+        "tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w "
+        "|| ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w"
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, list_filter({_T}, x -> x <> '') AS a
+             FROM documents),
+tp AS (SELECT doc_id, len(a)::DOUBLE AS n_tok, unnest(a) AS tok,
+              generate_subscripts(a, 1) AS pos FROM tok),
+g AS (SELECT doc_id, n_tok,
+             CASE WHEN lead(tok, 1) OVER w IS NOT NULL THEN {g2} END AS g_top,
+             CASE WHEN lead(tok, 4) OVER w IS NOT NULL THEN {g5} END AS g_dup
+      FROM tp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+topc AS (SELECT doc_id, n_tok, g_top, count(*) AS c FROM g
+         WHERE g_top IS NOT NULL GROUP BY 1, 2, 3),
+top AS (SELECT doc_id, floor((max(c) * 2 * 1000000.0) / n_tok)::BIGINT
+          AS top_ngram_ppm
+        FROM topc GROUP BY doc_id, n_tok),
+dupc AS (SELECT doc_id, n_tok, g_dup, count(*) AS c FROM g
+         WHERE g_dup IS NOT NULL GROUP BY 1, 2, 3),
+dup AS (SELECT doc_id,
+               least(floor((sum(CASE WHEN c > 1 THEN c ELSE 0 END)
+                            * 5 * 1000000.0) / n_tok)::BIGINT,
+                     1000000) AS dup_ngram_ppm
+        FROM dupc GROUP BY doc_id, n_tok)
+SELECT d.doc_id, coalesce(top_ngram_ppm, 0) AS top_ngram_ppm,
+       coalesce(dup_ngram_ppm, 0) AS dup_ngram_ppm
+FROM documents d LEFT JOIN top USING (doc_id) LEFT JOIN dup USING (doc_id)
 """
 
 
@@ -1557,6 +1602,7 @@ FROM dup GROUP BY 1 HAVING count(*) > 1
         "simhash": _simhash_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
         "embedding_near_dup": _embedding_near_dup_sql(),
+        "repetition": _repetition_sql(),
         "quality": f"""
 WITH t AS (SELECT doc_id, text,
                   list_filter({_T}, x -> x <> '') AS toks FROM documents),

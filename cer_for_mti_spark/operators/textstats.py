@@ -142,6 +142,96 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     top_n: int = 2, dup_n: int = 5,
+                     as_ppm: bool = False) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1
+    uses top-2..4-gram fraction and duplicated-5..10-gram fraction as
+    corpus filters) — per doc:
+
+    - top_ngram_frac: occurrences of the MOST FREQUENT top_n-gram times
+      top_n, over the token count (a boilerplate page repeating one
+      phrase scores near 1).
+    - dup_ngram_frac: total occurrences of dup_n-grams seen more than
+      once, times dup_n, over the token count, clamped to 1 (overlapping
+      n-grams can over-count; the clamp keeps it a fraction).
+
+    Both 0 for docs with fewer than n tokens. Fully declarative: one
+    posexplode + lead window per doc + two aggregations — a narrow
+    per-doc pipeline, no corpus-wide state, the 100 TB shape (the window
+    partitions by doc_id, so no global sort).
+
+    as_ppm=True returns integer parts-per-million via floor() instead of
+    round(,6) fractions: count/length ratios land EXACTLY on half-ULP
+    decimal boundaries (25/128 = 0.1953125), where Spark HALF_UP and
+    DuckDB disagree — floor of the identical IEEE division is
+    engine-stable, so the oracle-matched driver query uses ppm."""
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    base = docs.select("doc_id", toks.alias("_t")).select(
+        "doc_id", F.size("_t").cast("double").alias("n_tok"),
+        F.posexplode("_t").alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+
+    def gram_col(n: int):
+        parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+        return F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts))
+
+    grams = base.select(
+        "doc_id", "n_tok",
+        gram_col(top_n).alias("g_top"), gram_col(dup_n).alias("g_dup"),
+    )
+    if as_ppm:
+        # association fixed as ((count * n) * 1e6) / n_tok so both
+        # engines compute the identical IEEE double before floor
+        top_expr = F.floor(
+            F.col("cmax") * F.lit(top_n) * F.lit(1000000.0) / F.col("n_tok")
+        ).cast("long").alias("top_ngram_ppm")
+        dup_expr = F.least(
+            F.floor(
+                F.col("d") * F.lit(dup_n) * F.lit(1000000.0) / F.col("n_tok")
+            ).cast("long"),
+            F.lit(1000000).cast("long"),
+        ).alias("dup_ngram_ppm")
+        top_name, dup_name = "top_ngram_ppm", "dup_ngram_ppm"
+        zero = F.lit(0).cast("long")
+    else:
+        top_expr = F.round(
+            F.col("cmax") * top_n / F.col("n_tok"), 6
+        ).alias("top_ngram_frac")
+        dup_expr = F.round(
+            F.least(F.col("d") * dup_n / F.col("n_tok"), F.lit(1.0)), 6
+        ).alias("dup_ngram_frac")
+        top_name, dup_name = "top_ngram_frac", "dup_ngram_frac"
+        zero = F.lit(0.0)
+    top = (
+        grams.filter(F.col("g_top").isNotNull())
+        .groupBy("doc_id", "n_tok", "g_top").agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "n_tok").agg(F.max("c").alias("cmax"))
+        .select("doc_id", top_expr)
+    )
+    dup = (
+        grams.filter(F.col("g_dup").isNotNull())
+        .groupBy("doc_id", "n_tok", "g_dup").agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "n_tok").agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("d")
+        )
+        .select("doc_id", dup_expr)
+    )
+    return (
+        docs.select("doc_id")
+        .join(top, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(top_name, zero).alias(top_name),
+            F.coalesce(dup_name, zero).alias(dup_name),
+        )
+    )
+
+
 def cap_per_group(docs: DataFrame, group_col: str = "source", cap: int = 10,
                   order_col: str = "doc_id") -> DataFrame:
     """Per-domain document cap — the Common-Crawl anti-domination step: no

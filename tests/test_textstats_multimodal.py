@@ -16,6 +16,36 @@ def test_quality_and_tokens(spark):
     assert q[2].nonalpha_ratio > 0.5
 
 
+def test_repetition_stats(spark):
+    """Hand-computed Gopher repetition signals: 'a b' repeated -> top
+    2-gram fraction ~1; a doc with a duplicated 5-gram window; short and
+    unique docs -> 0."""
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),           # bigrams: 'a b' x3, 'b a' x2
+            (1, "x y z w v x y z w v x"),  # 5-gram 'x y z w v' twice
+            (2, "one"),                    # too short for any n-gram
+            (3, "all tokens here are unique words"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.top_ngram_frac, r.dup_ngram_frac)
+           for r in textstats.repetition_stats(docs).collect()}
+    assert got[0] == (round(3 * 2 / 6, 6), 0.0)
+    # doc 1: 11 tokens; top bigram ('x y', at pos 0 and 5) -> 2*2/11;
+    # duplicated 5-grams: 'x y z w v' x2 and 'y z w v x' x2 -> 4
+    # occurrences * 5 / 11 = 20/11, clamped to 1
+    assert got[1] == (round(4 / 11, 6), 1.0)
+    assert got[2] == (0.0, 0.0)
+    assert got[3] == (round(2 / 6, 6), 0.0)
+
+    ppm = {r.doc_id: (r.top_ngram_ppm, r.dup_ngram_ppm)
+           for r in textstats.repetition_stats(docs, as_ppm=True).collect()}
+    assert ppm[0] == (1000000, 0)
+    assert ppm[1] == (int(4 * 1e6 // 11), 1000000)
+    assert ppm[2] == (0, 0)
+
+
 def test_lang_id(spark):
     docs = spark.createDataFrame(
         [
