@@ -112,6 +112,27 @@ def test_phrase_sharded_vs_merged(spark, webtext, positional, pos_runs, query):
     assert merged == sharded and len(sharded) > 0
 
 
+def test_phrase_sharded_chem_mode(spark, webtext):
+    """Chem analyzer end-to-end through the sharded path: a phrase taken
+    verbatim from a document's own chem-token stream must hit that doc,
+    and merged vs sharded must agree."""
+    from cer_for_mti_spark.functions.analyze import chem_tokenize_str
+
+    row = webtext.orderBy("doc_id").first()
+    toks = chem_tokenize_str(row["text"])
+    query = " ".join(toks[:2])
+    qs = spark.createDataFrame([(0, query)], "query_id int, query string")
+    pos = ph.build_positional_postings(webtext, mode="chem")
+    runs = ph.build_positional_runs(webtext, mode="chem", salt=8)
+    merged = {(r.phrase_id, r.doc_id, r.n_matches)
+              for r in ph.phrase_search(qs, pos, mode="chem").collect()}
+    sharded = {(r.phrase_id, r.doc_id, r.n_matches)
+               for r in ph.phrase_search_sharded(qs, runs,
+                                                 mode="chem").collect()}
+    assert merged == sharded
+    assert any(d == row["doc_id"] for _, d, _ in sharded)
+
+
 def test_phrase_sharded_repartitioned_input(spark, webtext, positional):
     """Runs built from NON-doc-range input partitions (repartition(7) ->
     a (term, bucket) pair carries several runs per bucket): the matcher
