@@ -46,6 +46,40 @@ def test_repetition_stats(spark):
     assert ppm[2] == (0, 0)
 
 
+def test_repetition_stats_property(spark):
+    """Seeded-random docs vs a pure-Python reference implementation of
+    the same definitions (top n-gram count * n / tokens; duplicated
+    n-gram occurrences * n / tokens clamped to 1)."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(23)
+    vocab = ["a", "b", "c", "d"]
+    rows = []
+    for i in range(40):
+        n = rng.randint(0, 30)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.top_ngram_frac, r.dup_ngram_frac)
+           for r in textstats.repetition_stats(docs).collect()}
+
+    def ref(text, top_n=2, dup_n=5):
+        toks = text.split()
+        if not toks:
+            return (0.0, 0.0)
+        grams = lambda n: Counter(
+            tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)
+        )
+        gt, gd = grams(top_n), grams(dup_n)
+        top = max(gt.values()) * top_n / len(toks) if gt else 0.0
+        dup = (min(1.0, sum(c for c in gd.values() if c > 1) * dup_n
+                   / len(toks)) if gd else 0.0)
+        return (round(top, 6), round(dup, 6))
+
+    want = {i: ref(t) for i, t in rows}
+    assert got == want
+
+
 def test_lang_id(spark):
     docs = spark.createDataFrame(
         [
