@@ -228,8 +228,9 @@ def _phase_queries() -> None:
     timings["bm25_naive_30q"] = round(time.time() - t0, 3)
     dt.unpersist(); ds.unpersist(); postings.unpersist()
 
+    all_queries = {**entry.queries(), **entry.queries_extra()}
     for name in QUERY_NAMES:
-        fn = entry.queries()[name]
+        fn = all_queries[name]
         t0 = time.time()
         fn(spark, SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)

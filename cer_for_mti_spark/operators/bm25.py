@@ -517,17 +517,30 @@ def bm25_wand_sharded_from_index(spark, index_path: str, queries: DataFrame,
     terms = _query_term_set(q_rows, mode)
     if not terms:
         return spark.createDataFrame([], TOPK_SCHEMA)
-    shards = sorted({md5_60_py(t) % num_shards for t in terms})
+    pruned = read_runs_pruned(spark, index_path, sorted(terms),
+                              num_shards=num_shards, base_df=base_df)
+    return bm25_wand_sharded(queries, pruned, n_docs, avgdl, k=k, mode=mode,
+                             scorer=scorer)
+
+
+def read_runs_pruned(spark, index_path: str, query_terms: list[str],
+                     num_shards: int = 32,
+                     base_df: DataFrame | None = None) -> DataFrame:
+    """read_postings_pruned's twin for the RUN-level layout
+    (<path>/runs, write_runs_index / append_runs_index): shard dirs
+    prune at planning time, term predicates push into row groups, the
+    bucket column survives as data for per-(query, bucket) scoring."""
+    from cer_for_mti_spark.functions.hashing import md5_60_py
+
+    shards = sorted({md5_60_py(t) % num_shards for t in query_terms})
     df = base_df if base_df is not None else (
         spark.read.option("basePath", f"{index_path}/runs").parquet(
             f"{index_path}/runs"
         )
     )
-    pruned = df.filter(
-        F.col("shard").isin(shards) & F.col("term").isin(sorted(terms))
+    return df.filter(
+        F.col("shard").isin(shards) & F.col("term").isin(list(query_terms))
     )
-    return bm25_wand_sharded(queries, pruned, n_docs, avgdl, k=k, mode=mode,
-                             scorer=scorer)
 
 
 def read_postings_pruned(spark, index_path: str, query_terms: list[str],

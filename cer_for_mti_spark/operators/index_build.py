@@ -814,6 +814,15 @@ def append_runs_index(spark, index_path: str, new_docs: DataFrame,
     n_delta = delta_ds.count()
     if not n_delta:
         return 0
+    if n_docs is None:
+        # derive a bucket-width basis when the caller doesn't pass one:
+        # max doc id across the existing index and the delta. The width
+        # need not match the base build's — bucket ids are doc_id//width,
+        # and a differing width only co-groups MORE docs per task, never
+        # splits one doc's runs (see the bucket contract above).
+        hi = ds.agg(F.max("doc_id")).collect()[0][0] or 0
+        hi_d = delta_ds.agg(F.max("doc_id")).collect()[0][0] or 0
+        n_docs = int(max(hi, hi_d)) + 1
     runs = build_posting_runs(dt, None, avgdl, salt=salt, n_docs=n_docs)
     from cer_for_mti_spark.functions.hashing import md5_60
 

@@ -477,10 +477,23 @@ def ivf_pq_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     return _pq_adc_scan(pruned, books, q_rows, k, cells_by_q=cells_by_q)
 
 
+def _round6_half_up(x: np.ndarray) -> np.ndarray:
+    """Round to 6 decimals with Spark F.round's HALF_UP semantics (half
+    away from zero). np.round is half-to-EVEN, which diverges on exact
+    half-ULP boundaries — e.g. 25/128 = 0.1953125 rounds to 0.195313
+    under HALF_UP but 0.195312 under banker's rounding. Same contract as
+    the repetition ppm fix: floor(|x|*1e6 + 0.5) on the magnitude, sign
+    restored."""
+    return np.sign(x) * (np.floor(np.abs(x) * 1e6 + 0.5) / 1e6)
+
+
 def _probe_cells(q_rows: list, cent_rows: list, nprobe: int) -> dict:
     """{qid: frozenset(nprobe nearest cells)} — numpy twin of the
     declarative qcells computation (round(cosine, 6) desc, cid asc),
-    driver-side because centroids are tiny by construction."""
+    driver-side because centroids are tiny by construction. Rounding is
+    _round6_half_up, mirroring F.round exactly so a cosine on a half-ULP
+    decimal boundary cannot produce a different probe set than
+    ivf_topk/ivf_assign's declarative twin."""
     cids = np.asarray([int(r["c_id"]) for r in cent_rows], dtype=np.int64)
     cm = np.asarray([r["cv"] for r in cent_rows], dtype=np.float64)
     cnorm = np.maximum(np.linalg.norm(cm, axis=1), 1e-300)
@@ -488,7 +501,7 @@ def _probe_cells(q_rows: list, cent_rows: list, nprobe: int) -> dict:
     for r in q_rows:
         q = np.asarray(r["q"], dtype=np.float64)
         qn = max(float(np.linalg.norm(q)), 1e-300)
-        csim = np.round(cm @ q / (cnorm * qn), 6)
+        csim = _round6_half_up(cm @ q / (cnorm * qn))
         order = np.lexsort((cids, -csim))[:nprobe]
         out[int(r["qid"])] = frozenset(int(cids[i]) for i in order)
     return out

@@ -150,8 +150,11 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
     corpus filters) — per doc:
 
     - top_ngram_frac: occurrences of the MOST FREQUENT top_n-gram times
-      top_n, over the token count (a boilerplate page repeating one
-      phrase scores near 1).
+      top_n, over the token count, clamped to 1 (a boilerplate page
+      repeating one phrase scores 1; overlapping n-grams — "a a a" has
+      the bigram "a a" twice over 3 tokens — would otherwise push the
+      value above 1, so the clamp keeps it a fraction, same contract as
+      dup_ngram_frac).
     - dup_ngram_frac: total occurrences of dup_n-grams seen more than
       once, times dup_n, over the token count, clamped to 1 (overlapping
       n-grams can over-count; the clamp keeps it a fraction).
@@ -186,9 +189,13 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
     if as_ppm:
         # association fixed as ((count * n) * 1e6) / n_tok so both
         # engines compute the identical IEEE double before floor
-        top_expr = F.floor(
-            F.col("cmax") * F.lit(top_n) * F.lit(1000000.0) / F.col("n_tok")
-        ).cast("long").alias("top_ngram_ppm")
+        top_expr = F.least(
+            F.floor(
+                F.col("cmax") * F.lit(top_n) * F.lit(1000000.0)
+                / F.col("n_tok")
+            ).cast("long"),
+            F.lit(1000000).cast("long"),
+        ).alias("top_ngram_ppm")
         dup_expr = F.least(
             F.floor(
                 F.col("d") * F.lit(dup_n) * F.lit(1000000.0) / F.col("n_tok")
@@ -199,7 +206,7 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
         zero = F.lit(0).cast("long")
     else:
         top_expr = F.round(
-            F.col("cmax") * top_n / F.col("n_tok"), 6
+            F.least(F.col("cmax") * top_n / F.col("n_tok"), F.lit(1.0)), 6
         ).alias("top_ngram_frac")
         dup_expr = F.round(
             F.least(F.col("d") * dup_n / F.col("n_tok"), F.lit(1.0)), 6
@@ -239,8 +246,9 @@ def cap_per_group(docs: DataFrame, group_col: str = "source", cap: int = 10,
     training mix. Deterministic: rows ranked by `order_col` within the
     group. One shuffle on the group key; for a pathologically hot domain
     (10^8 pages) the window sort of that one partition is the bound — at
-    that scale pre-filter with a per-domain count + hash-threshold
-    (the stratified_sample shape) instead of a rank."""
+    that scale use cap_per_group_hashed, which spreads the hot group's
+    selection over a salted two-phase top-k (same cardinality per group,
+    hash-uniform choice instead of first-by-order_col)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(group_col).orderBy(order_col)
@@ -248,6 +256,45 @@ def cap_per_group(docs: DataFrame, group_col: str = "source", cap: int = 10,
         docs.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= cap)
         .drop("_rn")
+    )
+
+
+def cap_per_group_hashed(docs: DataFrame, group_col: str = "source",
+                         cap: int = 10, id_col: str = "doc_id",
+                         n_salts: int = 64) -> DataFrame:
+    """Scale-safe per-group cap: keeps EXACTLY min(cap, n) documents per
+    group — the cap with the smallest portable hash of (group, id) —
+    without ever sorting a whole group in one task.
+
+    Two salted phases (the distributed top-k-per-key pattern):
+    1. window over (group, hash % n_salts): each of the hot group's
+       n_salts sub-partitions keeps its local smallest-cap hashes — a
+       10^8-page domain sorts n/n_salts rows per task, not n;
+    2. window over (group) on the surviving <= n_salts*cap rows per
+       group keeps the global smallest cap.
+
+    Deterministic (hash ties broken by id), fully SQL-replayable
+    (equivalent to one rank over hash order — the oracle's shape), and a
+    UNIFORM deterministic choice rather than cap_per_group's
+    first-by-order_col — the right semantics for an anti-domination cap,
+    where "first cap doc_ids" systematically favours old pages. Kept
+    cardinalities per group are identical to cap_per_group's
+    (property-tested)."""
+    from pyspark.sql import Window
+
+    h = md5_60(F.concat(F.col(group_col), F.lit(":"),
+                        F.col(id_col).cast("string")))
+    salted = docs.withColumn("_h", h).withColumn(
+        "_salt", F.pmod(F.col("_h"), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy(group_col, "_salt").orderBy("_h", id_col)
+    w2 = Window.partitionBy(group_col).orderBy("_h", id_col)
+    return (
+        salted.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= cap)
+        .withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= cap)
+        .drop("_h", "_salt", "_rn", "_rn2")
     )
 
 

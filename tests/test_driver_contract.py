@@ -58,16 +58,18 @@ def _normalize(cols, rows):
     return [cols[i] for i in order], out
 
 
-ORACLE_KEYS = sorted(se.oracle_sql().keys())
+ALL_QUERIES = {**se.queries(), **se.queries_extra()}
+ALL_ORACLES = {**se.oracle_sql(), **se.oracle_sql_extra()}
+ORACLE_KEYS = sorted(ALL_ORACLES.keys())
 
 
 @pytest.mark.parametrize("name", ORACLE_KEYS)
 def test_query_matches_oracle(spark, name):
-    q = se.queries()[name]
+    q = ALL_QUERIES[name]
     sdf = q(spark, SF_DIR)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
-    o_cols, o_rows = _duck_rows(se.oracle_sql()[name])
+    o_cols, o_rows = _duck_rows(ALL_ORACLES[name])
 
     nc_s, nr_s = _normalize(s_cols, s_rows)
     nc_o, nr_o = _normalize(o_cols, o_rows)
@@ -84,23 +86,29 @@ def test_query_matches_oracle(spark, name):
 
 
 def test_all_queries_have_entries():
-    """Every queries() entry either has an oracle or documents why not."""
+    """Every queries() entry either has an oracle or documents why not,
+    and the driver dict honours its ~50-row execution cap (r03 lost the
+    sharded-phrase CORRECTNESS row to entries past the cap)."""
     qs = set(se.queries().keys())
+    assert len(qs) <= 50, f"queries() has {len(qs)} entries (> driver cap)"
     os_ = set(se.oracle_sql().keys())
     assert os_ <= qs, f"oracles without queries: {os_ - qs}"
     no_oracle = qs - os_
-    # non-SQL-expressible paths (driver records rows-only checks)
-    allowed = {
-        "ann_lsh", "ann_ivf_kmeans", "ann_pq", "multimodal_features",
-        "bootstrap_stats", "reference_golden_metrics",
-    }
+    # genuinely non-SQL-expressible paths (driver records rows-only):
+    # multimodal — binary mapInPandas stub (no PIL/ffmpeg in container)
+    allowed = {"multimodal_features"}
     assert no_oracle <= allowed, f"undocumented oracle gaps: {no_oracle - allowed}"
+    # extras: every queries_extra() entry is either oracle-checked here
+    # or covered by a named pytest suite (see queries_extra docstring)
+    extra_no_oracle = set(se.queries_extra()) - set(se.oracle_sql_extra())
+    assert extra_no_oracle <= {"bootstrap_stats", "reference_golden_metrics"}
 
 
-@pytest.mark.parametrize("name", sorted(set(se.queries()) - set(se.oracle_sql())))
+@pytest.mark.parametrize(
+    "name", sorted(set(ALL_QUERIES) - set(ALL_ORACLES)))
 def test_rows_only_query_runs(spark, name):
     """No-oracle entries must still run and return a stable schema with
     >= 0 rows (the driver's weaker rows-only check)."""
-    sdf = se.queries()[name](spark, SF_DIR)
+    sdf = ALL_QUERIES[name](spark, SF_DIR)
     rows = sdf.collect()
     assert sdf.columns and len(rows) >= 0

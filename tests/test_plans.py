@@ -34,12 +34,13 @@ ALLOWED_NESTED_LOOP = {
 SKIP = {"reference_golden_metrics", "bootstrap_stats", "multimodal_features",
         "ann_ivf_kmeans", "ann_pq"}
 
-NAMES = sorted(set(se.queries()) - SKIP)
+_ALL = {**se.queries(), **se.queries_extra()}
+NAMES = sorted(set(_ALL) - SKIP)
 
 
 @pytest.mark.parametrize("name", NAMES)
 def test_no_accidental_cross_join(spark, name):
-    df = se.queries()[name](spark, SF_DIR)
+    df = _ALL[name](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     has_nested = ("CartesianProduct" in plan
                   or "BroadcastNestedLoopJoin" in plan)

@@ -285,3 +285,22 @@ def test_ivf_pq_cluster_recall(spark):
     for r in got:
         per_q[r.q_id] = per_q.get(r.q_id, 0) + 1
     assert all(v == 5 for v in per_q.values())
+
+
+def test_round6_half_up_matches_spark(spark):
+    """_probe_cells' rounding must mirror F.round (HALF_UP) exactly,
+    including half-ULP decimal boundaries where np.round (banker's)
+    diverges: 25/128 = 0.1953125 is exactly representable and rounds to
+    .195313 under HALF_UP but .195312 under half-to-even."""
+    import numpy as np
+
+    vals = [25 / 128, -25 / 128, 3 / 256, -3 / 256, 0.123456749,
+            1.0, 0.0, -1.0, 7 / 64, 0.9999995]
+    got = similarity._round6_half_up(np.asarray(vals))
+    rows = spark.createDataFrame(
+        [(float(v),) for v in vals], "x double"
+    ).select(F.round("x", 6).alias("r")).collect()
+    want = [r.r for r in rows]
+    assert list(got) == want
+    # and the banker's divergence is real (the bug the helper fixes)
+    assert float(np.round(25 / 128, 6)) != want[0]

@@ -26,6 +26,8 @@ def test_repetition_stats(spark):
             (1, "x y z w v x y z w v x"),  # 5-gram 'x y z w v' twice
             (2, "one"),                    # too short for any n-gram
             (3, "all tokens here are unique words"),
+            (4, "a a a"),                  # overlapping top bigram: 'a a'
+                                           # x2 over 3 toks -> 4/3, clamped
         ],
         "doc_id long, text string",
     )
@@ -38,12 +40,14 @@ def test_repetition_stats(spark):
     assert got[1] == (round(4 / 11, 6), 1.0)
     assert got[2] == (0.0, 0.0)
     assert got[3] == (round(2 / 6, 6), 0.0)
+    assert got[4] == (1.0, 0.0)
 
     ppm = {r.doc_id: (r.top_ngram_ppm, r.dup_ngram_ppm)
            for r in textstats.repetition_stats(docs, as_ppm=True).collect()}
     assert ppm[0] == (1000000, 0)
     assert ppm[1] == (int(4 * 1e6 // 11), 1000000)
     assert ppm[2] == (0, 0)
+    assert ppm[4] == (1000000, 0)
 
 
 def test_repetition_stats_property(spark):
@@ -71,7 +75,8 @@ def test_repetition_stats_property(spark):
             tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)
         )
         gt, gd = grams(top_n), grams(dup_n)
-        top = max(gt.values()) * top_n / len(toks) if gt else 0.0
+        top = (min(1.0, max(gt.values()) * top_n / len(toks))
+               if gt else 0.0)
         dup = (min(1.0, sum(c for c in gd.values() if c > 1) * dup_n
                    / len(toks)) if gd else 0.0)
         return (round(top, 6), round(dup, 6))
@@ -170,6 +175,55 @@ def test_cap_per_group_properties(spark):
     for src, ids in by_src.items():
         all_ids = sorted(i for i, s in rows if s == src)
         assert sorted(ids) == all_ids[:5]
+
+
+def test_cap_per_group_hashed_equivalence(spark):
+    """cap_per_group_hashed keeps exactly min(cap, n) rows per group —
+    the same cardinalities as the ranked cap — picked by smallest
+    portable hash, deterministically, for several cap/salt settings
+    (including n_salts=1, which degenerates to one global rank)."""
+    from cer_for_mti_spark.functions.hashing import md5_60_py
+    from cer_for_mti_spark.operators import textstats
+
+    # skewed groups: d0 hot (200 rows), d1..d6 small (3..8 rows)
+    rows = [(i, "d0") for i in range(200)]
+    nxt = 200
+    for g in range(1, 7):
+        for _ in range(2 + g):
+            rows.append((nxt, f"d{g}"))
+            nxt += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    sizes = {}
+    for _, s in rows:
+        sizes[s] = sizes.get(s, 0) + 1
+
+    for cap, n_salts in [(5, 64), (5, 1), (10, 8), (1, 16)]:
+        ranked = textstats.cap_per_group(docs, "source", cap=cap)
+        hashed = textstats.cap_per_group_hashed(docs, "source", cap=cap,
+                                                n_salts=n_salts)
+        by_r, by_h = {}, {}
+        for r in ranked.collect():
+            by_r.setdefault(r.source, set()).add(r.doc_id)
+        for r in hashed.collect():
+            by_h.setdefault(r.source, set()).add(r.doc_id)
+        # identical per-group cardinalities (the property the verdict
+        # asks for), and = min(cap, n)
+        assert {s: len(v) for s, v in by_h.items()} == \
+            {s: len(v) for s, v in by_r.items()} == \
+            {s: min(cap, n) for s, n in sizes.items()}
+        # hashed keeps exactly the cap smallest (hash, id) per group
+        for src, ids in by_h.items():
+            all_ids = [i for i, s in rows if s == src]
+            want = sorted(
+                all_ids, key=lambda i: (md5_60_py(f"{src}:{i}"), i)
+            )[:cap]
+            assert ids == set(want)
+    # determinism across runs
+    a = {(r.doc_id, r.source) for r in textstats.cap_per_group_hashed(
+        docs, "source", cap=7).collect()}
+    b = {(r.doc_id, r.source) for r in textstats.cap_per_group_hashed(
+        docs, "source", cap=7).collect()}
+    assert a == b
 
 
 def test_winnow_fingerprints_shared_run(spark):

@@ -9,7 +9,9 @@
 Scan-pruned (shard partition pruning + term row-group pushdown).
 --sharded: index dir must be a runs index (submit_build --runs-index);
 scoring runs per (query, doc-range bucket) with bounded task bytes.
---conjunctive: AND semantics — only docs containing every query term.
+--conjunctive: AND semantics — only docs containing every query term;
+combined with --sharded it runs bm25_conjunctive_sharded over the runs
+index (bounded task bytes), alone it reads the merged-postings layout.
 --phrase: index dir must be a positional runs index (submit_build
 --positional-index); queries are exact-adjacency phrases; output rows
 are (query, doc_id, n_matches). Prints one JSON line per result row.
@@ -62,12 +64,16 @@ def main() -> None:
 
     ds = spark.read.parquet(f"{args.index}/doc_stats")
     n, avgdl = ib.corpus_stats(ds)
-    if args.conjunctive:
-        pruned = bm25.read_postings_pruned(
-            spark, args.index,
-            sorted(bm25._query_term_set(queries.collect(), args.mode)),
-            num_shards=args.shards,
-        )
+    terms = sorted(bm25._query_term_set(queries.collect(), args.mode))
+    if args.conjunctive and args.sharded:
+        # AND semantics over the runs-index layout: bounded task bytes
+        pruned = bm25.read_runs_pruned(spark, args.index, terms,
+                                       num_shards=args.shards)
+        out = bm25.bm25_conjunctive_sharded(queries, pruned, n, avgdl,
+                                            k=args.k, mode=args.mode)
+    elif args.conjunctive:
+        pruned = bm25.read_postings_pruned(spark, args.index, terms,
+                                           num_shards=args.shards)
         out = bm25.bm25_conjunctive(queries, pruned, n, avgdl, k=args.k,
                                     mode=args.mode)
     elif args.sharded:
