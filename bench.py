@@ -122,6 +122,42 @@ def _phase_gen_skew() -> None:
     print(json.dumps({"ok": True}))
 
 
+def _phase_aux_build() -> None:
+    """One-off (idempotent) builds for the round-4 query rows: merged
+    positional index + positional RUNS index over the bench corpus, and
+    the persisted IVF-PQ ANN index over the sf-dir embeddings. Built in
+    their own JVM, untimed (the bench times QUERIES over them; build
+    throughput is covered by the main index phases)."""
+    from pyspark.sql import functions as F
+
+    from cer_for_mti_spark.operators import phrase as ph
+    from cer_for_mti_spark.operators import similarity as sim
+
+    done = all(
+        os.path.exists(p) for p in [
+            f"{WORK}/pos_idx/positional/_SUCCESS",
+            f"{WORK}/pos_runs_idx/positional_runs/_SUCCESS",
+            f"{WORK}/ann_idx/codes/_SUCCESS",
+        ]
+    )
+    if done:
+        print(json.dumps({"ok": True}))
+        return
+    spark = _fresh_spark(CPUS)
+    docs = spark.read.parquet(CORPUS)
+    ph.write_positional_index(
+        ph.build_positional_postings(docs), f"{WORK}/pos_idx", num_shards=32
+    )
+    ph.write_positional_runs_index(
+        ph.build_positional_runs(docs), f"{WORK}/pos_runs_idx",
+        num_shards=32, docs=docs,
+    )
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    sim.write_ann_index(emb, f"{WORK}/ann_idx", n_centroids=16, m=8, ks=16)
+    spark.stop()
+    print(json.dumps({"ok": True}))
+
+
 def _phase_build(cores: int, plan: str = "shuffle",
                  mode: str = "simple", corpus: str = "uniform") -> None:
     """Full index build (tokenize/normalize -> doc_terms -> salted SPIMI
@@ -217,6 +253,52 @@ def _phase_queries() -> None:
     p50_cold = lat_cold[len(lat_cold) // 2]
     timings["bm25_wand_single_p50_warm"] = round(p50, 3)
     timings["bm25_wand_single_p50_pruned_cold"] = round(p50_cold, 3)
+
+    # conjunctive (AND) twin over the same warm postings + 30 queries —
+    # intersection before impact summing, the r03 addition
+    t0 = time.time()
+    bm25.bm25_conjunctive(queries, postings, n, avgdl, k=10).count()
+    timings["bm25_conjunctive_30q"] = round(time.time() - t0, 3)
+
+    # phrase search, merged vs doc-range-sharded, 30 phrases in one batch
+    # over the written positional indexes (aux_build phase). The merged
+    # path co-locates each phrase's full postings in one task; the
+    # sharded path bounds per-task bytes at S x the group count — the
+    # measured crossover between them is cited in SCALE.md.
+    from cer_for_mti_spark.operators import phrase as ph
+
+    phrases = spark.createDataFrame(qrows, "query_id int, query string")
+    pos_base = spark.read.option(
+        "basePath", f"{WORK}/pos_idx/positional"
+    ).parquet(f"{WORK}/pos_idx/positional")
+    t0 = time.time()
+    ph.phrase_search_from_index(spark, f"{WORK}/pos_idx", phrases,
+                                base_df=pos_base).count()
+    timings["phrase_30q_merged"] = round(time.time() - t0, 3)
+    runs_base = spark.read.option(
+        "basePath", f"{WORK}/pos_runs_idx/positional_runs"
+    ).parquet(f"{WORK}/pos_runs_idx/positional_runs")
+    t0 = time.time()
+    ph.phrase_search_sharded_from_index(spark, f"{WORK}/pos_runs_idx",
+                                        phrases,
+                                        base_df=runs_base).count()
+    timings["phrase_30q_sharded"] = round(time.time() - t0, 3)
+
+    # persisted-ANN query path: probe-list partition pruning + ADC scan
+    # over the written IVF-PQ index (aux_build), 30 queries in one batch
+    from cer_for_mti_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    ann_qs = emb.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    ).cache()
+    ann_qs.count()
+    ann_index = sim.read_ann_index(spark, f"{WORK}/ann_idx")
+    t0 = time.time()
+    sim.ann_topk_from_index(spark, f"{WORK}/ann_idx", ann_qs, k=5,
+                            nprobe=4, index=ann_index).count()
+    timings["ann_from_index_30q"] = round(time.time() - t0, 3)
 
     # naive oracle twin, measured warm (cache materialized outside the
     # timed window) and after all compressed-path timings
@@ -317,6 +399,7 @@ def main() -> None:
     skew_args = uni_args + ["--corpus", "skew"]
     _run_phase(uni_args)   # warm-up, discarded (page cache + JIT profile)
     _run_phase(skew_args)  # warm-up, discarded
+    _run_phase(["--phase", "aux_build"])  # positional + ANN indexes, once
     t_fast_runs, t_skew_runs, skew_ratios = [], [], []
     for _ in range(REPEATS):
         u = _run_phase(uni_args)["elapsed"]
@@ -472,6 +555,21 @@ def main() -> None:
             "<= ~1.3x; an unsalted groupBy(term) build would serialize "
             f"the {len(BOILER.split())} hot postings in single "
             "reducers).\n\n"
+            "## Phrase / conjunctive / persisted-ANN rows\n\n"
+            "`phrase_30q_merged` vs `phrase_30q_sharded` run the SAME "
+            "30-phrase batch over the merged positional index and the "
+            "doc-range-sharded runs index (both written, scan-pruned). "
+            f"Measured: merged {qres['timings'].get('phrase_30q_merged', '?')}s, "
+            f"sharded {qres['timings'].get('phrase_30q_sharded', '?')}s. "
+            "At this SF the merged path's per-phrase posting fits one task "
+            "easily, so the sharded path's extra groups cost more wall "
+            "clock — the crossover argument is BYTES, not time: the "
+            "sharded path's per-task bytes stay bounded at any corpus "
+            "size while the merged path's grow with df (phrase_search now "
+            "RAISES past max_posting_bytes; see SCALE.md). "
+            "`bm25_conjunctive_30q` is AND semantics over the warm "
+            "postings; `ann_from_index_30q` is the IVF-PQ ADC scan over "
+            "the written ANN index with probe-list partition pruning.\n\n"
             "## Query timings (local[{}], sf={}, median of {} runs)\n\n"
             .format(CPUS, SF, REPEATS)
             + "| query | median (s) | min..max (s) |\n|---|---|---|\n"
@@ -500,6 +598,8 @@ if __name__ == "__main__":
             corpus = (sys.argv[sys.argv.index("--corpus") + 1]
                       if "--corpus" in sys.argv else "uniform")
             _phase_build(cores, plan, mode, corpus)
+        elif phase == "aux_build":
+            _phase_aux_build()
         elif phase == "queries":
             _phase_queries()
         else:

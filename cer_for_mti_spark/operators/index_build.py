@@ -40,7 +40,9 @@ are the scale-path additions (SURVEY.md §4.2).
 
 from __future__ import annotations
 
+import os
 import re
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -773,11 +775,108 @@ def write_runs_index(runs: DataFrame, doc_stats: DataFrame, path: str,
     doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
 
 
+# --- atomic, resumable appends ---------------------------------------------
+#
+# The non-atomic shape (runs appended, then doc_stats, as two unrelated
+# parquet writes) left a crash window where the index's stats disagree
+# with its runs. Appends now reuse the lineage protocol of
+# plans/lineage.py at file granularity:
+#
+#   <path>/.staging/append_<batch>/<unit dirs>   staged ONCE (then fixed)
+#   <path>/.staging/append_<batch>/_STAGED       marker: staging complete
+#   <path>/append_lineage/                       one row per committed unit
+#
+# Commit = move the staged files of one unit (a shard dir, or the stats
+# sidecar — always LAST, so stats never reference runs that are not all
+# in) into the final dir, then append the unit's lineage row. Every step
+# is idempotent: a crash mid-unit leaves some files moved — the resumed
+# commit moves the remainder (each staged file moves exactly once, under
+# a batch-prefixed name) and then writes the row. Resume therefore
+# reconstructs a BIT-IDENTICAL index: the staged bytes were fixed before
+# the first commit (tests/test_index_bm25.py kill-between-units tests).
+
+APPEND_LINEAGE_SCHEMA = "batch_id string, unit string, n_files long"
+
+
+def _append_lineage_committed(spark, index_path: str) -> set[tuple[str, str]]:
+    d = f"{index_path}/append_lineage"
+    if not os.path.isdir(d) or not os.listdir(d):
+        return set()
+    rows = spark.read.parquet(d).select("batch_id", "unit").collect()
+    return {(r.batch_id, r.unit) for r in rows}
+
+
+def _find_inflight_batch(index_path: str) -> str | None:
+    root = f"{index_path}/.staging"
+    if not os.path.isdir(root):
+        return None
+    for d in sorted(os.listdir(root)):
+        if d.startswith("append_") and os.path.exists(
+            f"{root}/{d}/_STAGED"
+        ):
+            return d[len("append_"):]
+    return None
+
+
+def _new_batch_id(spark, index_path: str) -> str:
+    used = {b for b, _ in _append_lineage_committed(spark, index_path)}
+    i = len(used)
+    while f"b{i:04d}" in used:
+        i += 1
+    return f"b{i:04d}"
+
+
+def _commit_append_units(spark, index_path: str, batch_id: str,
+                         units: list[tuple[str, str, str]],
+                         fail_after: int | None) -> bool:
+    """units: (unit_name, staged_dir, final_dir), stats sidecar last.
+    Returns True when every unit committed (False = fail_after abort)."""
+    done = _append_lineage_committed(spark, index_path)
+    committed_now = 0
+    for unit, src, dst in units:
+        if (batch_id, unit) in done:
+            continue
+        os.makedirs(dst, exist_ok=True)
+        n_moved = 0
+        if os.path.isdir(src):
+            for fn in sorted(os.listdir(src)):
+                if fn.startswith("_") or fn.startswith("."):
+                    continue
+                os.rename(f"{src}/{fn}", f"{dst}/{batch_id}-{fn}")
+                n_moved += 1
+        row = spark.createDataFrame(
+            [(batch_id, unit, n_moved)], APPEND_LINEAGE_SCHEMA
+        ).withColumn("committed_at", F.current_timestamp())
+        row.coalesce(1).write.mode("append").parquet(
+            f"{index_path}/append_lineage"
+        )
+        committed_now += 1
+        if fail_after is not None and committed_now >= fail_after:
+            return False
+    shutil.rmtree(f"{index_path}/.staging/append_{batch_id}",
+                  ignore_errors=True)
+    return True
+
+
+def _staged_shard_units(stage: str, rel: str, index_path: str
+                        ) -> list[tuple[str, str, str]]:
+    units = []
+    runs_stage = f"{stage}/{rel}"
+    if os.path.isdir(runs_stage):
+        for d in sorted(os.listdir(runs_stage)):
+            if d.startswith("shard="):
+                units.append((f"{rel}/{d}", f"{runs_stage}/{d}",
+                              f"{index_path}/{rel}/{d}"))
+    return units
+
+
 def append_runs_index(spark, index_path: str, new_docs: DataFrame,
                       avgdl: float, mode: str = "simple",
                       salt: int | None = None, n_docs: int | None = None,
                       num_shards: int = 32,
-                      on_conflict: str = "error") -> int:
+                      on_conflict: str = "error",
+                      batch_id: str | None = None,
+                      fail_after: int | None = None) -> int:
     """Incremental ingest for the RUN-level index layout: new documents
     become new runs APPENDED into the existing shard directories — no
     merge at all, because the sharded scorers already treat several runs
@@ -791,48 +890,85 @@ def append_runs_index(spark, index_path: str, new_docs: DataFrame,
     Stats contract mirrors compact_index: impacts bake the PASSED avgdl
     (normally the index's original — frozen Lucene-segment-style);
     append-only is ENFORCED (existing doc_ids raise, or are anti-joined
-    out with on_conflict='skip'). doc_stats is appended too. Returns the
-    number of docs actually appended. Periodic stats refresh = full
-    rebuild, exactly as for the merged layout."""
-    ds = spark.read.parquet(f"{index_path}/doc_stats")
-    dt = build_doc_terms_narrow(new_docs, mode=mode)
-    old_ids = ds.select("doc_id")
-    n_overlap = dt.select("doc_id").distinct().join(
-        old_ids, "doc_id", "left_semi"
-    ).count()
-    if n_overlap:
-        if on_conflict == "error":
-            raise ValueError(
-                f"append_runs_index: {n_overlap} doc_ids already exist in "
-                f"the index at {index_path}; pass on_conflict='skip' to "
-                "drop the re-ingested docs."
-            )
-        if on_conflict != "skip":
-            raise ValueError(f"unknown on_conflict {on_conflict!r}")
-        dt = dt.join(old_ids, "doc_id", "left_anti")
-    delta_ds = dt.groupBy("doc_id").agg(F.max("doclen").alias("doclen"))
-    n_delta = delta_ds.count()
-    if not n_delta:
-        return 0
-    if n_docs is None:
-        # derive a bucket-width basis when the caller doesn't pass one:
-        # max doc id across the existing index and the delta. The width
-        # need not match the base build's — bucket ids are doc_id//width,
-        # and a differing width only co-groups MORE docs per task, never
-        # splits one doc's runs (see the bucket contract above).
-        hi = ds.agg(F.max("doc_id")).collect()[0][0] or 0
-        hi_d = delta_ds.agg(F.max("doc_id")).collect()[0][0] or 0
-        n_docs = int(max(hi, hi_d)) + 1
-    runs = build_posting_runs(dt, None, avgdl, salt=salt, n_docs=n_docs)
-    from cer_for_mti_spark.functions.hashing import md5_60
+    out with on_conflict='skip'). Periodic stats refresh = full rebuild,
+    exactly as for the merged layout.
 
-    sharded = runs.withColumn(
-        "shard", F.pmod(md5_60(F.col("term")), F.lit(num_shards)).cast("int")
-    ).repartition(num_shards, "shard")
-    sharded.write.mode("append").partitionBy("shard").parquet(
-        f"{index_path}/runs"
-    )
-    delta_ds.write.mode("append").parquet(f"{index_path}/doc_stats")
+    ATOMICITY: the whole append (runs + doc_stats) is one staged,
+    lineage-committed, RESUMABLE unit — see the protocol note above.
+    A crash at any point is repaired by calling append_runs_index again
+    (the in-flight batch is detected automatically; new_docs is ignored
+    on resume since the staged bytes are already fixed). `fail_after`
+    aborts after that many unit commits (crash-test hook). Returns the
+    number of docs appended."""
+    inflight = _find_inflight_batch(index_path)
+    if batch_id is None:
+        batch_id = inflight
+    elif inflight is not None and inflight != batch_id:
+        raise ValueError(
+            f"append_runs_index: batch {inflight!r} is staged but not fully "
+            f"committed at {index_path}; resume it (call again without "
+            "batch_id) before starting a new append — a new batch's "
+            "overlap check cannot see the in-flight docs."
+        )
+    stage = (f"{index_path}/.staging/append_{batch_id}"
+             if batch_id is not None else None)
+
+    if stage is None or not os.path.exists(f"{stage}/_STAGED"):
+        ds = spark.read.parquet(f"{index_path}/doc_stats")
+        dt = build_doc_terms_narrow(new_docs, mode=mode)
+        old_ids = ds.select("doc_id")
+        n_overlap = dt.select("doc_id").distinct().join(
+            old_ids, "doc_id", "left_semi"
+        ).count()
+        if n_overlap:
+            if on_conflict == "error":
+                raise ValueError(
+                    f"append_runs_index: {n_overlap} doc_ids already exist "
+                    f"in the index at {index_path}; pass on_conflict='skip' "
+                    "to drop the re-ingested docs."
+                )
+            if on_conflict != "skip":
+                raise ValueError(f"unknown on_conflict {on_conflict!r}")
+            dt = dt.join(old_ids, "doc_id", "left_anti")
+        delta_ds = dt.groupBy("doc_id").agg(
+            F.max("doclen").alias("doclen")
+        )
+        n_delta = delta_ds.count()
+        if not n_delta:
+            return 0
+        if n_docs is None:
+            # derive a bucket-width basis when the caller doesn't pass
+            # one: max doc id across index + delta. The width need not
+            # match the base build's — a differing width only co-groups
+            # MORE docs per task, never splits one doc's runs.
+            hi = ds.agg(F.max("doc_id")).collect()[0][0] or 0
+            hi_d = delta_ds.agg(F.max("doc_id")).collect()[0][0] or 0
+            n_docs = int(max(hi, hi_d)) + 1
+        runs = build_posting_runs(dt, None, avgdl, salt=salt, n_docs=n_docs)
+        from cer_for_mti_spark.functions.hashing import md5_60
+
+        if batch_id is None:
+            batch_id = _new_batch_id(spark, index_path)
+            stage = f"{index_path}/.staging/append_{batch_id}"
+        shutil.rmtree(stage, ignore_errors=True)
+        sharded = runs.withColumn(
+            "shard",
+            F.pmod(md5_60(F.col("term")), F.lit(num_shards)).cast("int"),
+        ).repartition(num_shards, "shard")
+        sharded.write.mode("overwrite").partitionBy("shard").parquet(
+            f"{stage}/runs"
+        )
+        delta_ds.write.mode("overwrite").parquet(f"{stage}/doc_stats")
+        with open(f"{stage}/_STAGED", "w") as f:
+            f.write(f"{n_delta}\n")
+    else:
+        with open(f"{stage}/_STAGED") as f:
+            n_delta = int(f.readline())
+
+    units = _staged_shard_units(stage, "runs", index_path)
+    units.append(("doc_stats", f"{stage}/doc_stats",
+                  f"{index_path}/doc_stats"))
+    _commit_append_units(spark, index_path, batch_id, units, fail_after)
     return int(n_delta)
 
 
@@ -840,25 +976,88 @@ def append_positional_runs_index(spark, index_path: str,
                                  new_docs: DataFrame, mode: str = "simple",
                                  salt: int | None = None,
                                  n_docs: int | None = None,
-                                 num_shards: int = 32) -> None:
+                                 num_shards: int = 32,
+                                 on_conflict: str = "error",
+                                 batch_id: str | None = None,
+                                 fail_after: int | None = None) -> int:
     """Incremental ingest for the positional runs index — EXACT with no
     frozen-stats caveat at all: positional runs carry no corpus
     statistics (positions are doc-local), and phrase_search_sharded
     merges multiple runs per (term, bucket) at decode time, so appended
-    docs' phrase hits are identical to a from-scratch build's. The
-    caller is responsible for doc_id disjointness (duplicate ids would
-    double-count matches, same contract as append_runs_index)."""
+    docs' phrase hits are identical to a from-scratch build's.
+
+    doc_id disjointness is ENFORCED (same contract as append_runs_index
+    — a re-ingested doc would silently double-count n_matches): the
+    index must carry the `docs` sidecar written by
+    write_positional_runs_index(..., docs=...), existing ids raise or
+    are anti-joined out with on_conflict='skip', and the sidecar is
+    appended as the batch's last commit unit. Same staged / lineage /
+    resumable protocol as append_runs_index; returns docs appended."""
     from cer_for_mti_spark.functions.hashing import md5_60
     from cer_for_mti_spark.operators.phrase import build_positional_runs
 
-    runs = build_positional_runs(new_docs, mode=mode, salt=salt,
-                                 n_docs=n_docs)
-    sharded = runs.withColumn(
-        "shard", F.pmod(md5_60(F.col("term")), F.lit(num_shards)).cast("int")
-    ).repartition(num_shards, "shard")
-    sharded.write.mode("append").partitionBy("shard").parquet(
-        f"{index_path}/positional_runs"
-    )
+    inflight = _find_inflight_batch(index_path)
+    if batch_id is None:
+        batch_id = inflight
+    elif inflight is not None and inflight != batch_id:
+        raise ValueError(
+            f"append_positional_runs_index: batch {inflight!r} is staged "
+            f"but not fully committed at {index_path}; resume it first."
+        )
+    stage = (f"{index_path}/.staging/append_{batch_id}"
+             if batch_id is not None else None)
+
+    if stage is None or not os.path.exists(f"{stage}/_STAGED"):
+        docs_dir = f"{index_path}/docs"
+        if not os.path.isdir(docs_dir):
+            raise ValueError(
+                f"append_positional_runs_index: no doc-id sidecar at "
+                f"{docs_dir} — rebuild the index with "
+                "write_positional_runs_index(..., docs=<the indexed "
+                "docs>) so appends can enforce doc_id disjointness."
+            )
+        old_ids = spark.read.parquet(docs_dir).select("doc_id")
+        delta = new_docs.select("doc_id").distinct()
+        n_overlap = delta.join(old_ids, "doc_id", "left_semi").count()
+        if n_overlap:
+            if on_conflict == "error":
+                raise ValueError(
+                    f"append_positional_runs_index: {n_overlap} doc_ids "
+                    f"already exist in the index at {index_path}; their "
+                    "phrase hits would double-count. Pass "
+                    "on_conflict='skip' to drop the re-ingested docs."
+                )
+            if on_conflict != "skip":
+                raise ValueError(f"unknown on_conflict {on_conflict!r}")
+            new_docs = new_docs.join(old_ids, "doc_id", "left_anti")
+        delta = new_docs.select("doc_id").distinct()
+        n_delta = delta.count()
+        if not n_delta:
+            return 0
+        runs = build_positional_runs(new_docs, mode=mode, salt=salt,
+                                     n_docs=n_docs)
+        if batch_id is None:
+            batch_id = _new_batch_id(spark, index_path)
+            stage = f"{index_path}/.staging/append_{batch_id}"
+        shutil.rmtree(stage, ignore_errors=True)
+        sharded = runs.withColumn(
+            "shard",
+            F.pmod(md5_60(F.col("term")), F.lit(num_shards)).cast("int"),
+        ).repartition(num_shards, "shard")
+        sharded.write.mode("overwrite").partitionBy("shard").parquet(
+            f"{stage}/positional_runs"
+        )
+        delta.write.mode("overwrite").parquet(f"{stage}/docs")
+        with open(f"{stage}/_STAGED", "w") as f:
+            f.write(f"{n_delta}\n")
+    else:
+        with open(f"{stage}/_STAGED") as f:
+            n_delta = int(f.readline())
+
+    units = _staged_shard_units(stage, "positional_runs", index_path)
+    units.append(("docs", f"{stage}/docs", f"{index_path}/docs"))
+    _commit_append_units(spark, index_path, batch_id, units, fail_after)
+    return int(n_delta)
 
 
 def build_index(docs: DataFrame, mode: str = "simple",

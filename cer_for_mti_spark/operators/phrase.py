@@ -20,7 +20,9 @@ full-text extension of its exact-match semantics.
 
 from __future__ import annotations
 
+import os
 import re
+import shutil
 from collections import defaultdict
 
 import numpy as np
@@ -185,14 +187,21 @@ def _merge_positional_overlap(rs: list) -> tuple[int, bytes, bytes, bytes]:
     ids, tfs = ids[order], tfs[order]
     pos = np.concatenate([pos_slices[g] for g in order]) if len(order) else \
         np.array([], dtype=np.int64)
-    # re-delta per doc group: group starts absolute, rest in-group deltas
+    d, t, p = _encode_positional(ids, tfs, pos)
+    return int(len(ids)), d, t, p
+
+
+def _encode_positional(ids: np.ndarray, tfs: np.ndarray, pos: np.ndarray
+                       ) -> tuple[bytes, bytes, bytes]:
+    """Encode doc-sorted (ids, tfs, absolute positions) into the three
+    positional streams: delta doc ids, varint tfs, per-doc position
+    deltas (group starts absolute, rest in-group deltas)."""
     gaps = pos.copy()
     if len(pos) > 1:
         gaps[1:] = pos[1:] - pos[:-1]
     starts = np.cumsum(tfs) - tfs
     gaps[starts] = pos[starts]
     return (
-        int(len(ids)),
         delta_encode(ids),
         varint_encode(tfs.astype(np.uint64)),
         varint_encode(gaps.astype(np.uint64)),
@@ -234,7 +243,9 @@ def write_positional_index(positional: DataFrame, path: str,
 
 def phrase_search_from_index(spark, index_path: str, phrases: DataFrame,
                              mode: str = "simple", num_shards: int = 32,
-                             base_df: DataFrame | None = None) -> DataFrame:
+                             base_df: DataFrame | None = None,
+                             max_posting_bytes: int | None = -1,
+                             ) -> DataFrame:
     """Scan-pruned phrase search over a written positional index: the
     phrase batch's terms (and their shards — a pure function of the term)
     are literal filters, so only |terms| row groups are touched at query
@@ -255,7 +266,10 @@ def phrase_search_from_index(spark, index_path: str, phrases: DataFrame,
     pruned = df.filter(
         F.col("shard").isin(shards) & F.col("term").isin(sorted(terms))
     )
-    return phrase_search(phrases, pruned, mode)
+    if max_posting_bytes == -1:
+        return phrase_search(phrases, pruned, mode)
+    return phrase_search(phrases, pruned, mode,
+                         max_posting_bytes=max_posting_bytes)
 
 
 def phrase_terms(phrase: str, mode: str = "simple") -> list[str]:
@@ -329,17 +343,26 @@ def _phrase_want(phrases: DataFrame, mode: str):
     return pairs, n_terms
 
 
+DEFAULT_MAX_POSTING_BYTES = 256 << 20  # one task's posting-fetch budget
+
+
 def phrase_search(phrases: DataFrame, positional: DataFrame,
-                  mode: str = "simple") -> DataFrame:
+                  mode: str = "simple",
+                  max_posting_bytes: int | None = DEFAULT_MAX_POSTING_BYTES,
+                  ) -> DataFrame:
     """(phrase_id, phrase) x positional postings -> (phrase_id, doc_id,
     n_matches). Terms are broadcast-pruned; each phrase's postings are
     co-located with applyInPandas; adjacency is verified with numpy set
     intersections (positions of term i+1 shifted by -(i+1)).
 
-    Scale caveat: groupBy(query_id) fetches ALL of a phrase's posting
-    bytes into ONE task — fine while postings fit a task, but a
-    stop-word phrase at 10^12 docs does not. phrase_search_sharded is
-    the bounded-task-bytes variant (doc-range buckets, same results)."""
+    Scale contract (ENFORCED, not just documented): groupBy(query_id)
+    fetches ALL of a phrase's posting bytes into ONE task — fine while
+    postings fit a task, but a stop-word phrase at 10^12 docs does not.
+    When a phrase's fetched bytes exceed `max_posting_bytes` (default
+    256 MiB — a task-memory budget), the task RAISES with a pointer to
+    phrase_search_sharded, the bounded-task-bytes variant with identical
+    results, instead of silently OOM-ing the executor. Pass None to
+    disable the guard."""
     pairs, n_terms = _phrase_want(phrases, mode)
     if not pairs:
         return phrases.sparkSession.createDataFrame([], PHRASE_HIT_SCHEMA)
@@ -349,6 +372,19 @@ def phrase_search(phrases: DataFrame, positional: DataFrame,
 
     def match(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
+        if max_posting_bytes is not None:
+            total = int(
+                pdf["doc_ids"].map(len).sum() + pdf["tfs"].map(len).sum()
+                + pdf["positions"].map(len).sum()
+            )
+            if total > max_posting_bytes:
+                raise RuntimeError(
+                    f"phrase_search: phrase {qid} fetches {total} posting "
+                    f"bytes into one task (> max_posting_bytes="
+                    f"{max_posting_bytes}). Use phrase_search_sharded over "
+                    "build_positional_runs — result-identical with bounded "
+                    "per-task bytes — or raise/disable the guard."
+                )
         # a term may appear at several indices in one phrase
         by_idx: dict[int, pd.Series] = {}
         for j in range(len(pdf)):
@@ -520,12 +556,20 @@ def phrase_search_sharded(phrases: DataFrame, pos_runs: DataFrame,
 
 
 def write_positional_runs_index(pos_runs: DataFrame, path: str,
-                                num_shards: int = 32) -> None:
+                                num_shards: int = 32,
+                                docs: DataFrame | None = None) -> None:
     """Persist the RUN-level positional index hash-sharded on term (same
     layout contract as index_build.write_runs_index): shard dirs prune at
     planning time, term predicates push into row groups, and the bucket
     column survives as data so phrase matching groups on
-    (query_id, bucket) with bounded task bytes."""
+    (query_id, bucket) with bounded task bytes.
+
+    Pass `docs` (any DataFrame with the indexed doc_id column) to also
+    write the ``<path>/docs`` doc-id sidecar —
+    index_build.append_positional_runs_index REQUIRES it to enforce
+    doc_id disjointness (a re-ingested doc would silently double-count
+    phrase n_matches). Omitting it produces a query-only index that
+    refuses appends."""
     from cer_for_mti_spark.functions.hashing import md5_60
 
     sharded = pos_runs.withColumn(
@@ -534,6 +578,10 @@ def write_positional_runs_index(pos_runs: DataFrame, path: str,
     sharded.write.mode("overwrite").partitionBy("shard").parquet(
         f"{path}/positional_runs"
     )
+    if docs is not None:
+        docs.select("doc_id").distinct().write.mode("overwrite").parquet(
+            f"{path}/docs"
+        )
 
 
 def phrase_search_sharded_from_index(spark, index_path: str,
@@ -563,3 +611,72 @@ def phrase_search_sharded_from_index(spark, index_path: str,
         F.col("shard").isin(shards) & F.col("term").isin(sorted(terms))
     )
     return phrase_search_sharded(phrases, pruned, mode)
+
+
+def compact_positional_runs(spark, index_path: str,
+                            num_shards: int = 32) -> tuple[int, int]:
+    """Re-merge a positional runs index to EXACTLY ONE run per
+    (term, bucket).
+
+    Merge-free appends (index_build.append_positional_runs_index)
+    accumulate one run per (term, bucket, ingest batch); correctness is
+    unaffected (the sharded matcher merges runs at decode time) but
+    after many ingests query-time decode touches many tiny runs and the
+    parquet row count grows linearly with batches. Compaction is pure
+    byte-level per group — decode, stable doc-sort, re-encode; no corpus
+    statistics are involved, so phrase results are BYTE-IDENTICAL
+    before/after (tested). The docs sidecar and append lineage are left
+    untouched: compaction changes layout, not membership.
+
+    The rewrite goes through a staging dir and two directory renames;
+    the short window between them is the same non-atomicity every
+    overwrite-in-place parquet rewrite has — run it offline, like the
+    merged index's compact_index. Returns (runs_before, runs_after)."""
+    from cer_for_mti_spark.functions.hashing import md5_60
+
+    runs = spark.read.option(
+        "basePath", f"{index_path}/positional_runs"
+    ).parquet(f"{index_path}/positional_runs")
+    n_before = runs.count()
+
+    @F.pandas_udf("first_id long, last_id long, df long, doc_ids binary, "
+                  "tfs binary, positions binary")
+    def merge(runs_s: pd.Series) -> pd.DataFrame:
+        out = {"first_id": [], "last_id": [], "df": [], "doc_ids": [],
+               "tfs": [], "positions": []}
+        for rows in runs_s:
+            ids, tfs, starts, ends, pos = _decode_rows_merged(list(rows))
+            d, t, p = _encode_positional(ids, tfs, pos)
+            out["first_id"].append(int(ids[0]))
+            out["last_id"].append(int(ids[-1]))
+            out["df"].append(int(len(ids)))
+            out["doc_ids"].append(d)
+            out["tfs"].append(t)
+            out["positions"].append(p)
+        return _object_df(out)
+
+    merged = runs.groupBy("term", "bucket").agg(
+        F.collect_list(F.struct(
+            "first_id", "last_id", "df", "doc_ids", "tfs", "positions"
+        )).alias("runs")
+    ).select("term", "bucket", merge("runs").alias("p")).select(
+        "term", "bucket", "p.first_id", "p.last_id", "p.df",
+        "p.doc_ids", "p.tfs", "p.positions"
+    )
+    staging = f"{index_path}/.compact_staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    sharded = merged.withColumn(
+        "shard", F.pmod(md5_60(F.col("term")), F.lit(num_shards)).cast("int")
+    ).repartition(num_shards, "shard")
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(
+        f"{staging}/positional_runs"
+    )
+    n_after = spark.read.parquet(f"{staging}/positional_runs").count()
+    final = f"{index_path}/positional_runs"
+    trash = f"{index_path}/.positional_runs_old"
+    shutil.rmtree(trash, ignore_errors=True)
+    os.rename(final, trash)
+    os.rename(f"{staging}/positional_runs", final)
+    shutil.rmtree(trash)
+    shutil.rmtree(staging, ignore_errors=True)
+    return int(n_before), int(n_after)

@@ -485,7 +485,12 @@ def test_append_runs_index(spark, tmp_path):
 def test_append_positional_runs_index(spark, tmp_path):
     """Positional append is exact (no corpus stats at all): phrase hits
     from the appended index equal the merged-postings search over the
-    full corpus."""
+    full corpus. Disjointness is ENFORCED via the docs sidecar: a
+    re-ingested doc raises (it would silently double-count n_matches),
+    on_conflict='skip' drops it, and an index written without the
+    sidecar refuses appends outright."""
+    import pytest as _pytest
+
     from cer_for_mti_spark import datagen
     from cer_for_mti_spark.operators import phrase as ph
 
@@ -494,9 +499,24 @@ def test_append_positional_runs_index(spark, tmp_path):
     new = full.filter(F.col("doc_id") >= 80)
     idx = str(tmp_path / "pos_idx")
     runs_old = ph.build_positional_runs(old, salt=6, n_docs=120)
-    ph.write_positional_runs_index(runs_old, idx, num_shards=8)
-    ib.append_positional_runs_index(spark, idx, new, salt=6, n_docs=120,
-                                    num_shards=8)
+    ph.write_positional_runs_index(runs_old, idx, num_shards=8, docs=old)
+
+    # no sidecar -> refuse
+    idx_bare = str(tmp_path / "pos_idx_bare")
+    ph.write_positional_runs_index(runs_old, idx_bare, num_shards=8)
+    with _pytest.raises(ValueError, match="sidecar"):
+        ib.append_positional_runs_index(spark, idx_bare, new, salt=6,
+                                        n_docs=120, num_shards=8)
+
+    # overlapping doc_ids -> raise
+    with _pytest.raises(ValueError, match="already exist"):
+        ib.append_positional_runs_index(
+            spark, idx, full.filter(F.col("doc_id") >= 70), salt=6,
+            n_docs=120, num_shards=8)
+
+    n_added = ib.append_positional_runs_index(spark, idx, new, salt=6,
+                                              n_docs=120, num_shards=8)
+    assert n_added == 40
     qs = spark.createDataFrame([(0, "the the"), (1, "of the")],
                                "query_id int, query string")
     got = {(r.phrase_id, r.doc_id, r.n_matches)
@@ -506,6 +526,155 @@ def test_append_positional_runs_index(spark, tmp_path):
     want = {(r.phrase_id, r.doc_id, r.n_matches)
             for r in ph.phrase_search(qs, positional).collect()}
     assert got == want and len(got) > 0
+    # re-running the SAME delta now raises (sidecar was appended too);
+    # on_conflict='skip' is a no-op returning 0
+    with _pytest.raises(ValueError, match="already exist"):
+        ib.append_positional_runs_index(spark, idx, new, salt=6,
+                                        n_docs=120, num_shards=8)
+    assert ib.append_positional_runs_index(
+        spark, idx, new, salt=6, n_docs=120, num_shards=8,
+        on_conflict="skip") == 0
+
+
+def _index_content(spark, idx):
+    """Full content snapshot of a runs index (runs + doc_stats rows,
+    order-free) for bit-identity comparisons."""
+    runs = spark.read.option("basePath", f"{idx}/runs").parquet(
+        f"{idx}/runs")
+    rows = sorted(
+        (r["shard"], r["term"], r["bucket"], r["first_id"], r["last_id"],
+         r["df"], bytes(r["doc_ids"]), bytes(r["tfs"]),
+         bytes(r["doclens"]), tuple(r["block_last"]),
+         tuple(r["block_max"]), r["max_impact"])
+        for r in runs.collect())
+    ds = sorted(map(tuple, spark.read.parquet(f"{idx}/doc_stats")
+                    .select("doc_id", "doclen").collect()))
+    return rows, ds
+
+
+def test_append_runs_index_resumable(spark, tmp_path):
+    """Kill-between-unit-commits crash test: an append aborted after 1
+    unit commit leaves runs without their doc_stats; re-calling
+    append_runs_index detects the in-flight staged batch and completes
+    it — the final index is bit-identical (every run byte + stats row)
+    to an uninterrupted append of the same delta."""
+    import shutil as _sh
+
+    import pytest as _pytest
+
+    from cer_for_mti_spark import datagen
+
+    full = datagen.generate_webtext(spark, 100, seed=23).cache()
+    old = full.filter(F.col("doc_id") < 70)
+    new = full.filter(F.col("doc_id") >= 70)
+    dt_old = ib.build_doc_terms(old).cache()
+    ds_old = ib.build_doc_stats(dt_old)
+    n_old, avgdl = ib.corpus_stats(ds_old)
+    runs_old = ib.build_posting_runs(dt_old, ds_old, avgdl, salt=4,
+                                     n_docs=100)
+
+    idx_a = str(tmp_path / "crash")
+    idx_b = str(tmp_path / "clean")
+    ib.write_runs_index(runs_old, ds_old, idx_a, num_shards=4)
+    _sh.copytree(idx_a, idx_b)
+
+    # clean append on the control copy
+    ib.append_runs_index(spark, idx_b, new, avgdl, salt=4, n_docs=100,
+                         num_shards=4)
+    # crashed append: only 1 of the 5 units (4 shards + doc_stats) lands
+    ib.append_runs_index(spark, idx_a, new, avgdl, salt=4, n_docs=100,
+                         num_shards=4, fail_after=1)
+    lin = spark.read.parquet(f"{idx_a}/append_lineage")
+    assert lin.count() == 1  # torn: stats NOT committed yet
+    assert spark.read.parquet(f"{idx_a}/doc_stats").count() == 70
+    # starting a DIFFERENT batch while one is in-flight is refused
+    with _pytest.raises(ValueError, match="in-flight|staged"):
+        ib.append_runs_index(spark, idx_a, new, avgdl, salt=4, n_docs=100,
+                             num_shards=4, batch_id="other")
+    # resume (new_docs ignored — staged bytes already fixed)
+    n = ib.append_runs_index(spark, idx_a, new, avgdl, salt=4, n_docs=100,
+                             num_shards=4)
+    assert n == 30
+    assert _index_content(spark, idx_a) == _index_content(spark, idx_b)
+    # all 5 units committed, staging gone
+    assert spark.read.parquet(f"{idx_a}/append_lineage").count() == 5
+    import os as _os
+    assert not _os.path.isdir(f"{idx_a}/.staging") or not any(
+        d.startswith("append_") for d in _os.listdir(f"{idx_a}/.staging"))
+
+
+def test_append_positional_runs_index_resumable(spark, tmp_path):
+    """Positional twin of the crash test: abort after 2 unit commits,
+    resume, and require the appended index's phrase results AND raw run
+    bytes to equal an uninterrupted append's."""
+    from cer_for_mti_spark import datagen
+    from cer_for_mti_spark.operators import phrase as ph
+
+    full = datagen.generate_webtext(spark, 100, seed=29).cache()
+    old = full.filter(F.col("doc_id") < 70)
+    new = full.filter(F.col("doc_id") >= 70)
+    idx_a = str(tmp_path / "pcrash")
+    idx_b = str(tmp_path / "pclean")
+    runs_old = ph.build_positional_runs(old, salt=6, n_docs=100)
+    ph.write_positional_runs_index(runs_old, idx_a, num_shards=4, docs=old)
+    import shutil as _sh
+    _sh.copytree(idx_a, idx_b)
+
+    ib.append_positional_runs_index(spark, idx_b, new, salt=6, n_docs=100,
+                                    num_shards=4)
+    ib.append_positional_runs_index(spark, idx_a, new, salt=6, n_docs=100,
+                                    num_shards=4, fail_after=2)
+    # torn: sidecar (last unit) not committed
+    assert spark.read.parquet(f"{idx_a}/docs").count() == 70
+    n = ib.append_positional_runs_index(spark, idx_a, new, salt=6,
+                                        n_docs=100, num_shards=4)
+    assert n == 30
+    assert spark.read.parquet(f"{idx_a}/docs").count() == 100
+
+    def content(idx):
+        runs = spark.read.option(
+            "basePath", f"{idx}/positional_runs"
+        ).parquet(f"{idx}/positional_runs")
+        return sorted(
+            (r["shard"], r["term"], r["bucket"], r["first_id"],
+             r["last_id"], r["df"], bytes(r["doc_ids"]), bytes(r["tfs"]),
+             bytes(r["positions"]))
+            for r in runs.collect())
+
+    assert content(idx_a) == content(idx_b)
+
+
+def test_append_runs_index_default_n_docs(spark, tmp_path):
+    """The advertised-optional n_docs=None path (ADVICE r03: it crashed
+    with AttributeError): derives the bucket-width basis from the index
+    + delta max doc_id, and the appended index stays rank-identical to
+    from-scratch runs at the frozen avgdl."""
+    from cer_for_mti_spark import datagen
+
+    full = datagen.generate_webtext(spark, 100, seed=31).cache()
+    old = full.filter(F.col("doc_id") < 60)
+    new = full.filter(F.col("doc_id") >= 60)
+    dt_old = ib.build_doc_terms(old).cache()
+    ds_old = ib.build_doc_stats(dt_old)
+    n_old, avgdl = ib.corpus_stats(ds_old)
+    runs_old = ib.build_posting_runs(dt_old, ds_old, avgdl, salt=4,
+                                     n_docs=n_old)
+    idx = str(tmp_path / "defaults_idx")
+    ib.write_runs_index(runs_old, ds_old, idx, num_shards=8)
+    n = ib.append_runs_index(spark, idx, new, avgdl, num_shards=8)
+    assert n == 40
+    qs = spark.createDataFrame(
+        [(0, "the data"), (1, "insulin protein")],
+        "query_id int, query string")
+    got = bm25.bm25_wand_sharded_from_index(spark, idx, qs, 100, avgdl,
+                                            k=10, num_shards=8)
+    dt_full = ib.build_doc_terms(full)
+    ds_full = ib.build_doc_stats(dt_full)
+    runs_full = ib.build_posting_runs(dt_full, ds_full, avgdl, salt=4,
+                                      n_docs=100)
+    want = bm25.bm25_wand_sharded(qs, runs_full, 100, avgdl, k=10)
+    assert _key(got.collect()) == _key(want.collect())
+    assert got.count() > 0
 
 
 def test_wand_sharded_from_index(spark, webtext, queries, tmp_path):

@@ -214,3 +214,84 @@ def test_phrase_search_from_index(spark, webtext, positional, tmp_path):
         probe.explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "PushedFilters" in plan
+
+
+def test_compact_positional_runs_byte_identity(spark, webtext, tmp_path):
+    """After several merge-free appends, compaction reduces the index to
+    exactly ONE run per (term, bucket) with phrase results — and raw
+    decoded streams — identical before/after."""
+    from cer_for_mti_spark.operators import index_build as ib
+    from pyspark.sql import functions as F2
+
+    idx = str(tmp_path / "compact_idx")
+    parts = [webtext.filter((F2.col("doc_id") % 3) == i) for i in range(3)]
+    runs0 = ph.build_positional_runs(parts[0], salt=8, n_docs=300)
+    ph.write_positional_runs_index(runs0, idx, num_shards=8, docs=parts[0])
+    for p in parts[1:]:
+        ib.append_positional_runs_index(spark, idx, p, salt=8, n_docs=300,
+                                        num_shards=8)
+
+    qs = spark.createDataFrame(
+        [(0, "the the"), (1, "of the"), (2, "the of")],
+        "query_id int, query string")
+    before = {(r.phrase_id, r.doc_id, r.n_matches)
+              for r in ph.phrase_search_sharded_from_index(
+                  spark, idx, qs, num_shards=8).collect()}
+    multi_before = (
+        spark.read.option("basePath", f"{idx}/positional_runs")
+        .parquet(f"{idx}/positional_runs")
+        .groupBy("term", "bucket").count().filter(F2.col("count") > 1)
+        .count())
+    assert multi_before > 0  # appends really did leave multiple runs
+
+    n_before, n_after = ph.compact_positional_runs(spark, idx, num_shards=8)
+    assert n_after < n_before
+    runs = spark.read.option("basePath", f"{idx}/positional_runs").parquet(
+        f"{idx}/positional_runs")
+    assert runs.count() == n_after
+    assert runs.groupBy("term", "bucket").count().filter(
+        F2.col("count") > 1).count() == 0  # exactly one run per key
+
+    after = {(r.phrase_id, r.doc_id, r.n_matches)
+             for r in ph.phrase_search_sharded_from_index(
+                 spark, idx, qs, num_shards=8).collect()}
+    assert before == after and len(after) > 0
+    # the compacted index and a from-scratch build must agree on every
+    # (term, bucket)'s decoded (ids, tfs, positions); scratch may carry
+    # several runs per key, so merge those first
+    scratch = ph.build_positional_runs(webtext, salt=8, n_docs=300)
+
+    def decoded(df):
+        out = {}
+        for r in df.collect():
+            ids, tfs, _s, _e, pos = ph._decode_positional(r)
+            key = (r["term"], r["bucket"])
+            assert key not in out
+            out[key] = (ids.tolist(), tfs.tolist(), pos.tolist())
+        return out
+
+    got = decoded(runs)
+    want = {}
+    rows_by_key = {}
+    for r in scratch.collect():
+        rows_by_key.setdefault((r["term"], r["bucket"]), []).append(r)
+    for key, rows in rows_by_key.items():
+        ids, tfs, _s, _e, pos = ph._decode_rows_merged(rows)
+        want[key] = (ids.tolist(), tfs.tolist(), pos.tolist())
+    assert got == want
+
+
+def test_phrase_search_posting_bytes_guard(spark, webtext, positional):
+    """The merged-path scale caveat is an enforced contract: a phrase
+    whose fetched posting bytes exceed max_posting_bytes raises with a
+    pointer at phrase_search_sharded instead of silently co-locating an
+    unbounded posting in one task."""
+    qs = spark.createDataFrame([(0, "the the")],
+                               "query_id int, query string")
+    with pytest.raises(Exception, match="phrase_search_sharded"):
+        ph.phrase_search(qs, positional, max_posting_bytes=64).collect()
+    # the default budget (256 MiB) is far above this corpus: same call
+    # succeeds, and disabling the guard entirely works too
+    assert ph.phrase_search(qs, positional).count() > 0
+    assert ph.phrase_search(qs, positional,
+                            max_posting_bytes=None).count() > 0

@@ -61,8 +61,10 @@ def main() -> None:
         from cer_for_mti_spark.operators import phrase as ph
 
         pos_runs = ph.build_positional_runs(docs, mode=args.mode, n_docs=n)
+        # docs= writes the doc-id sidecar so the index accepts enforced
+        # appends (append_positional_runs_index)
         ph.write_positional_runs_index(pos_runs, args.output + "_pos",
-                                       num_shards=args.shards)
+                                       num_shards=args.shards, docs=docs)
         extra["positional_index"] = args.output + "_pos"
     elapsed = time.time() - t0
     print(json.dumps({
