@@ -46,6 +46,11 @@ SF = SF_DIR.rstrip("/").split("sf")[-1]
 SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "500000"))
 WORK = "/tmp/cer_bench"
 CORPUS = f"{WORK}/corpus_{SCALE_DOCS}"
+# aux (positional/ANN) indexes are keyed by corpus size so a small smoke
+# run cannot satisfy the idempotency markers of a full run
+POS_IDX = f"{WORK}/pos_idx_{SCALE_DOCS}"
+POS_RUNS_IDX = f"{WORK}/pos_runs_idx_{SCALE_DOCS}"
+ANN_IDX = f"{WORK}/ann_idx_{SCALE_DOCS}"
 
 QUERY_NAMES = [
     "tpch_q1", "top_orders", "doc_terms", "bm25_topk", "bm25_wand_sharded",
@@ -135,9 +140,9 @@ def _phase_aux_build() -> None:
 
     done = all(
         os.path.exists(p) for p in [
-            f"{WORK}/pos_idx/positional/_SUCCESS",
-            f"{WORK}/pos_runs_idx/positional_runs/_SUCCESS",
-            f"{WORK}/ann_idx/codes/_SUCCESS",
+            f"{POS_IDX}/positional/_SUCCESS",
+            f"{POS_RUNS_IDX}/positional_runs/_SUCCESS",
+            f"{ANN_IDX}/codes/_SUCCESS",
         ]
     )
     if done:
@@ -146,14 +151,14 @@ def _phase_aux_build() -> None:
     spark = _fresh_spark(CPUS)
     docs = spark.read.parquet(CORPUS)
     ph.write_positional_index(
-        ph.build_positional_postings(docs), f"{WORK}/pos_idx", num_shards=32
+        ph.build_positional_postings(docs), f"{POS_IDX}", num_shards=32
     )
     ph.write_positional_runs_index(
-        ph.build_positional_runs(docs), f"{WORK}/pos_runs_idx",
+        ph.build_positional_runs(docs), f"{POS_RUNS_IDX}",
         num_shards=32, docs=docs,
     )
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    sim.write_ann_index(emb, f"{WORK}/ann_idx", n_centroids=16, m=8, ks=16)
+    sim.write_ann_index(emb, f"{ANN_IDX}", n_centroids=16, m=8, ks=16)
     spark.stop()
     print(json.dumps({"ok": True}))
 
@@ -269,17 +274,17 @@ def _phase_queries() -> None:
 
     phrases = spark.createDataFrame(qrows, "query_id int, query string")
     pos_base = spark.read.option(
-        "basePath", f"{WORK}/pos_idx/positional"
-    ).parquet(f"{WORK}/pos_idx/positional")
+        "basePath", f"{POS_IDX}/positional"
+    ).parquet(f"{POS_IDX}/positional")
     t0 = time.time()
-    ph.phrase_search_from_index(spark, f"{WORK}/pos_idx", phrases,
+    ph.phrase_search_from_index(spark, f"{POS_IDX}", phrases,
                                 base_df=pos_base).count()
     timings["phrase_30q_merged"] = round(time.time() - t0, 3)
     runs_base = spark.read.option(
-        "basePath", f"{WORK}/pos_runs_idx/positional_runs"
-    ).parquet(f"{WORK}/pos_runs_idx/positional_runs")
+        "basePath", f"{POS_RUNS_IDX}/positional_runs"
+    ).parquet(f"{POS_RUNS_IDX}/positional_runs")
     t0 = time.time()
-    ph.phrase_search_sharded_from_index(spark, f"{WORK}/pos_runs_idx",
+    ph.phrase_search_sharded_from_index(spark, f"{POS_RUNS_IDX}",
                                         phrases,
                                         base_df=runs_base).count()
     timings["phrase_30q_sharded"] = round(time.time() - t0, 3)
@@ -294,9 +299,9 @@ def _phase_queries() -> None:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     ).cache()
     ann_qs.count()
-    ann_index = sim.read_ann_index(spark, f"{WORK}/ann_idx")
+    ann_index = sim.read_ann_index(spark, f"{ANN_IDX}")
     t0 = time.time()
-    sim.ann_topk_from_index(spark, f"{WORK}/ann_idx", ann_qs, k=5,
+    sim.ann_topk_from_index(spark, f"{ANN_IDX}", ann_qs, k=5,
                             nprobe=4, index=ann_index).count()
     timings["ann_from_index_30q"] = round(time.time() - t0, 3)
 
@@ -560,13 +565,15 @@ def main() -> None:
             "30-phrase batch over the merged positional index and the "
             "doc-range-sharded runs index (both written, scan-pruned). "
             f"Measured: merged {qres['timings'].get('phrase_30q_merged', '?')}s, "
-            f"sharded {qres['timings'].get('phrase_30q_sharded', '?')}s. "
-            "At this SF the merged path's per-phrase posting fits one task "
-            "easily, so the sharded path's extra groups cost more wall "
-            "clock — the crossover argument is BYTES, not time: the "
-            "sharded path's per-task bytes stay bounded at any corpus "
-            "size while the merged path's grow with df (phrase_search now "
-            "RAISES past max_posting_bytes; see SCALE.md). "
+            f"sharded {qres['timings'].get('phrase_30q_sharded', '?')}s — "
+            "the sharded path wins on WALL CLOCK already at this SF, not "
+            "just on bounded bytes: the merged path serializes each "
+            "phrase's full adjacency work in ONE task (the batch is bound "
+            "by its hottest stop-word phrase), while per-(phrase, bucket) "
+            "grouping spreads that same work over S tasks per phrase. The "
+            "bytes bound is what makes it MANDATORY at 10^12 docs "
+            "(phrase_search RAISES past max_posting_bytes; see SCALE.md); "
+            "the parallelism is why it is already the better default. "
             "`bm25_conjunctive_30q` is AND semantics over the warm "
             "postings; `ann_from_index_30q` is the IVF-PQ ADC scan over "
             "the written ANN index with probe-list partition pruning.\n\n"

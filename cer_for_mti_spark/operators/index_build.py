@@ -858,13 +858,13 @@ def _commit_append_units(spark, index_path: str, batch_id: str,
     return True
 
 
-def _staged_shard_units(stage: str, rel: str, index_path: str
-                        ) -> list[tuple[str, str, str]]:
+def _staged_shard_units(stage: str, rel: str, index_path: str,
+                        prefix: str = "shard=") -> list[tuple[str, str, str]]:
     units = []
     runs_stage = f"{stage}/{rel}"
     if os.path.isdir(runs_stage):
         for d in sorted(os.listdir(runs_stage)):
-            if d.startswith("shard="):
+            if d.startswith(prefix):
                 units.append((f"{rel}/{d}", f"{runs_stage}/{d}",
                               f"{index_path}/{rel}/{d}"))
     return units
@@ -1058,6 +1058,58 @@ def append_positional_runs_index(spark, index_path: str,
     units.append(("docs", f"{stage}/docs", f"{index_path}/docs"))
     _commit_append_units(spark, index_path, batch_id, units, fail_after)
     return int(n_delta)
+
+
+def compact_runs_index(spark, index_path: str, avgdl: float,
+                       num_shards: int = 32) -> tuple[int, int]:
+    """Fold appended batches of a BM25 RUNS index back to EXACTLY ONE run
+    per (term, bucket) — the BM25 twin of phrase.compact_positional_runs.
+
+    Merge-free appends leave one run per (term, bucket, batch); the
+    sharded scorers handle that (independent cursors), but query-time
+    decode then touches B tiny runs per key after B batches. The merge
+    is merge_encoded_runs per key: disjoint doc-id ranges (the normal
+    append shape — new docs get new ids) byte-concat with impacts and
+    block maxes UNTOUCHED; interleaved ranges re-encode, which is why
+    `avgdl` must be the index's frozen bake value (the avgdl every
+    append passed) — re-encoding with anything else would change
+    existing docs' impacts. doc_stats and append lineage are untouched
+    (layout, not membership). Same staged rewrite + rename swap as the
+    positional compactor. Returns (runs_before, runs_after)."""
+    runs = spark.read.option("basePath", f"{index_path}/runs").parquet(
+        f"{index_path}/runs"
+    )
+    n_before = runs.count()
+    merged = runs.groupBy("term", "bucket").agg(
+        F.collect_list(F.struct(*RUN_FIELDS)).alias("runs"),
+        F.min("first_id").alias("first_id"),
+        F.max("last_id").alias("last_id"),
+    ).select(
+        "term", "bucket", "first_id", "last_id",
+        _make_merge_runs_udf(avgdl)("runs").alias("p"),
+    ).select(
+        "term", "bucket", "first_id", "last_id", "p.df", "p.doc_ids",
+        "p.tfs", "p.doclens", "p.block_last", "p.block_max", "p.max_impact"
+    )
+    from cer_for_mti_spark.functions.hashing import md5_60
+
+    staging = f"{index_path}/.compact_staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    sharded = merged.withColumn(
+        "shard", F.pmod(md5_60(F.col("term")), F.lit(num_shards)).cast("int")
+    ).repartition(num_shards, "shard")
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(
+        f"{staging}/runs"
+    )
+    n_after = spark.read.parquet(f"{staging}/runs").count()
+    final = f"{index_path}/runs"
+    trash = f"{index_path}/.runs_old"
+    shutil.rmtree(trash, ignore_errors=True)
+    os.rename(final, trash)
+    os.rename(f"{staging}/runs", final)
+    shutil.rmtree(trash)
+    shutil.rmtree(staging, ignore_errors=True)
+    return int(n_before), int(n_after)
 
 
 def build_index(docs: DataFrame, mode: str = "simple",

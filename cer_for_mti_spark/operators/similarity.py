@@ -12,6 +12,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -648,3 +650,108 @@ def ann_topk_from_index(spark, path: str, queries: DataFrame, k: int = 5,
     all_cells = sorted({c for cs in cells_by_q.values() for c in cs})
     pruned = codes.filter(F.col("cell").isin(all_cells))
     return _pq_adc_scan(pruned, books, q_rows, k, cells_by_q=cells_by_q)
+
+
+def append_ann_index(spark, path: str, new_emb: DataFrame,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     on_conflict: str = "error",
+                     batch_id: str | None = None,
+                     fail_after: int | None = None) -> int:
+    """Incremental vector ingest into a written IVF-PQ index: new vectors
+    are assigned to the EXISTING centroids and encoded with the EXISTING
+    codebooks, then their codes (and exact vectors, when the index has
+    the store_vectors layer) are appended into the cell directories.
+
+    Frozen-quantizer contract — the ANN analogue of the BM25 appends'
+    frozen avgdl: the appended index is CONTENT-IDENTICAL to re-encoding
+    the full corpus with the same trained artifacts (tested), but cell
+    balance and recall drift under distribution shift are not repaired
+    by appends; recluster = write_ann_index again, priced as the rebuild
+    it is (same policy as compact_index's stats-refresh).
+
+    id disjointness is ENFORCED (a re-ingested id would appear twice in
+    ADC top-k): existing ids raise, or are anti-joined out with
+    on_conflict='skip'. The write is staged + lineage-committed +
+    resumable, reusing index_build's append-unit protocol (one unit per
+    cell dir, vectors layer after codes); a crash is repaired by calling
+    again. Returns the number of vectors appended."""
+    import shutil as _shutil
+
+    from cer_for_mti_spark.operators import index_build as ib_mod
+
+    inflight = ib_mod._find_inflight_batch(path)
+    if batch_id is None:
+        batch_id = inflight
+    elif inflight is not None and inflight != batch_id:
+        raise ValueError(
+            f"append_ann_index: batch {inflight!r} is staged but not fully "
+            f"committed at {path}; resume it first."
+        )
+    stage = (f"{path}/.staging/append_{batch_id}"
+             if batch_id is not None else None)
+
+    if stage is None or not os.path.exists(f"{stage}/_STAGED"):
+        codes = spark.read.option("basePath", f"{path}/codes").parquet(
+            f"{path}/codes"
+        )
+        old_ids = codes.select("id")
+        delta_ids = new_emb.select(
+            F.col(id_col).cast("long").alias("id")
+        ).distinct()
+        n_overlap = delta_ids.join(old_ids, "id", "left_semi").count()
+        if n_overlap:
+            if on_conflict == "error":
+                raise ValueError(
+                    f"append_ann_index: {n_overlap} vector ids already "
+                    f"exist in the index at {path}; they would appear "
+                    "twice in ADC top-k. Pass on_conflict='skip' to drop "
+                    "the re-ingested vectors."
+                )
+            if on_conflict != "skip":
+                raise ValueError(f"unknown on_conflict {on_conflict!r}")
+            new_emb = new_emb.join(
+                old_ids.withColumnRenamed("id", id_col), id_col, "left_anti"
+            )
+        n_delta = new_emb.select(id_col).distinct().count()
+        if not n_delta:
+            return 0
+        cents = spark.read.parquet(f"{path}/centroids")
+        n_cells = cents.count()
+        brows = spark.read.parquet(f"{path}/codebooks").collect()
+        mm = max(r["j"] for r in brows) + 1
+        kk = max(r["c"] for r in brows) + 1
+        books = np.empty((mm, kk, len(brows[0]["vec"])))
+        for r in brows:
+            books[r["j"], r["c"]] = r["vec"]
+
+        assigned = ivf_assign(new_emb, cents, id_col=id_col, vec_col=vec_col)
+        delta_codes = pq_encode(
+            assigned.select(F.col("id").alias(id_col),
+                            F.col("v").alias(vec_col)),
+            books, id_col=id_col, vec_col=vec_col,
+        ).join(assigned.select("id", "cell"), "id")
+
+        if batch_id is None:
+            batch_id = ib_mod._new_batch_id(spark, path)
+            stage = f"{path}/.staging/append_{batch_id}"
+        _shutil.rmtree(stage, ignore_errors=True)
+        delta_codes.repartition(n_cells, "cell").write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(f"{stage}/codes")
+        if os.path.isdir(f"{path}/vectors"):
+            assigned.select("id", "v", "vnorm", "cell").repartition(
+                n_cells, "cell"
+            ).write.mode("overwrite").partitionBy("cell").parquet(
+                f"{stage}/vectors"
+            )
+        with open(f"{stage}/_STAGED", "w") as f:
+            f.write(f"{n_delta}\n")
+    else:
+        with open(f"{stage}/_STAGED") as f:
+            n_delta = int(f.readline())
+
+    units = ib_mod._staged_shard_units(stage, "codes", path, prefix="cell=")
+    units += ib_mod._staged_shard_units(stage, "vectors", path,
+                                        prefix="cell=")
+    ib_mod._commit_append_units(spark, path, batch_id, units, fail_after)
+    return int(n_delta)

@@ -711,3 +711,67 @@ def test_wand_sharded_from_index(spark, webtext, queries, tmp_path):
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "shard" in plan
     assert "PushedFilters" in plan and "insulin" in plan
+
+
+def test_compact_runs_index(spark, tmp_path):
+    """BM25 runs-index compaction: after two appended batches the index
+    carries one run per (term, bucket, batch); compaction folds it to
+    exactly one run per (term, bucket), sharded queries stay
+    rank-identical, and appends keep working afterwards."""
+    from cer_for_mti_spark import datagen
+
+    full = datagen.generate_webtext(spark, 120, seed=37).cache()
+    # interleaved id classes: the deltas' doc-id ranges overlap the base
+    # buckets, so appends really do stack several runs per (term, bucket)
+    # and compaction exercises the overlap decode/re-encode merge path
+    base = full.filter((F.col("doc_id") < 110) & (F.col("doc_id") % 3 == 0))
+    d1 = full.filter((F.col("doc_id") < 110) & (F.col("doc_id") % 3 == 1))
+    d2 = full.filter((F.col("doc_id") < 110) & (F.col("doc_id") % 3 == 2))
+    d3 = full.filter(F.col("doc_id") >= 110)
+    dt = ib.build_doc_terms(base).cache()
+    ds = ib.build_doc_stats(dt)
+    n0, avgdl = ib.corpus_stats(ds)
+    idx = str(tmp_path / "cr_idx")
+    ib.write_runs_index(
+        ib.build_posting_runs(dt, ds, avgdl, salt=4, n_docs=120),
+        ds, idx, num_shards=4)
+    for delta in (d1, d2):
+        ib.append_runs_index(spark, idx, delta, avgdl, salt=4, n_docs=120,
+                             num_shards=4)
+    qs = spark.createDataFrame(
+        [(0, "the data"), (1, "insulin protein"), (2, "zzz")],
+        "query_id int, query string")
+    before = _key(bm25.bm25_wand_sharded_from_index(
+        spark, idx, qs, 110, avgdl, k=10, num_shards=4).collect())
+    runs = spark.read.option("basePath", f"{idx}/runs").parquet(
+        f"{idx}/runs")
+    assert runs.groupBy("term", "bucket").count().filter(
+        F.col("count") > 1).count() > 0
+
+    n_b, n_a = ib.compact_runs_index(spark, idx, avgdl, num_shards=4)
+    assert n_a < n_b
+    runs2 = spark.read.option("basePath", f"{idx}/runs").parquet(
+        f"{idx}/runs")
+    assert runs2.count() == n_a
+    assert runs2.groupBy("term", "bucket").count().filter(
+        F.col("count") > 1).count() == 0
+    after = _key(bm25.bm25_wand_sharded_from_index(
+        spark, idx, qs, 110, avgdl, k=10, num_shards=4).collect())
+    assert before == after and len(after) > 0
+
+    # the compacted index still accepts (and enforces) appends
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="already exist"):
+        ib.append_runs_index(spark, idx, d2, avgdl, salt=4, n_docs=120,
+                             num_shards=4)
+    assert ib.append_runs_index(spark, idx, d3, avgdl, salt=4, n_docs=120,
+                                num_shards=4) == 10
+    final = _key(bm25.bm25_wand_sharded_from_index(
+        spark, idx, qs, 120, avgdl, k=10, num_shards=4).collect())
+    dt_full = ib.build_doc_terms(full)
+    ds_full = ib.build_doc_stats(dt_full)
+    runs_full = ib.build_posting_runs(dt_full, ds_full, avgdl, salt=4,
+                                      n_docs=120)
+    want = _key(bm25.bm25_wand_sharded(qs, runs_full, 120, avgdl,
+                                       k=10).collect())
+    assert final == want

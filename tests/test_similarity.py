@@ -304,3 +304,68 @@ def test_round6_half_up_matches_spark(spark):
     assert list(got) == want
     # and the banker's divergence is real (the bug the helper fixes)
     assert float(np.round(25 / 128, 6)) != want[0]
+
+
+def test_append_ann_index(spark, tmp_path):
+    """Frozen-quantizer ANN appends: appended codes equal a full
+    re-encode with the SAME stored artifacts (content identity),
+    disjointness is enforced, a killed append resumes to the identical
+    index, and appended vectors are immediately queryable (exact layer
+    self-match at rank 1)."""
+    import shutil as _sh
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").cache()
+    base = emb.filter(F.col("vec_id") < 300)
+    delta = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    idx = str(tmp_path / "ann_idx")
+    similarity.write_ann_index(base, idx, n_centroids=8, m=8, ks=16,
+                               store_vectors=True)
+    idx2 = str(tmp_path / "ann_idx_crash")
+    _sh.copytree(idx, idx2)
+
+    # re-ingest raises; skip drops
+    with pytest.raises(ValueError, match="already exist"):
+        similarity.append_ann_index(spark, idx, base.limit(10))
+    assert similarity.append_ann_index(
+        spark, idx, base.limit(10), on_conflict="skip") == 0
+
+    n = similarity.append_ann_index(spark, idx, delta)
+    assert n == 100
+
+    # content identity: codes of the appended index == full corpus
+    # encoded/assigned with the index's own stored artifacts
+    codes_df, cent_rows, books = similarity.read_ann_index(spark, idx)
+    got = {r["id"]: (r["cell"], bytes(r["codes"]))
+           for r in codes_df.collect()}
+    cents = spark.read.parquet(f"{idx}/centroids")
+    both = base.unionByName(delta)
+    assigned = similarity.ivf_assign(both, cents)
+    want_codes = similarity.pq_encode(
+        assigned.select(F.col("id").alias("vec_id"),
+                        F.col("v").alias("embedding")), books
+    ).join(assigned.select("id", "cell"), "id")
+    want = {r["id"]: (r["cell"], bytes(r["codes"]))
+            for r in want_codes.collect()}
+    assert got == want and len(got) == 400
+    # vectors layer appended too
+    assert spark.read.option("basePath", f"{idx}/vectors").parquet(
+        f"{idx}/vectors").count() == 400
+
+    # appended vectors are queryable: exact in-cell cosine self-match
+    qs = delta.limit(5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    top = similarity.ivf_topk_from_index(spark, idx, qs, k=3, nprobe=2)
+    r1 = {r.q_id: r.vec_id for r in top.filter("rank = 1").collect()}
+    assert all(q == v for q, v in r1.items()) and len(r1) == 5
+
+    # crash-resume: abort after 1 unit commit, then resume; codes content
+    # must equal the uninterrupted append's
+    similarity.append_ann_index(spark, idx2, delta, fail_after=1)
+    lin = spark.read.parquet(f"{idx2}/append_lineage")
+    assert lin.count() == 1
+    similarity.append_ann_index(spark, idx2, delta)  # auto-resume
+    codes2, _, _ = similarity.read_ann_index(spark, idx2)
+    got2 = {r["id"]: (r["cell"], bytes(r["codes"]))
+            for r in codes2.collect()}
+    assert got2 == got

@@ -6,6 +6,11 @@
         tools/submit_ann.py build --input <embeddings parquet> \
         --output <index dir> [--centroids 16] [--m 8] [--ks 16] \
         [--sample 2048] [--store-vectors]
+    # append: new vectors encoded with the EXISTING centroids/codebooks
+    # (frozen-quantizer contract), atomic + resumable, ids enforced unique
+    spark-submit --py-files /tmp/cer_for_mti_spark.zip \
+        tools/submit_ann.py append --index <index dir> \
+        --input <new embeddings parquet> [--on-conflict skip]
     # query: probe cells (partition pruning) + ADC scan (or exact with
     # --flat over the stored-vectors layer)
     spark-submit --py-files /tmp/cer_for_mti_spark.zip \
@@ -35,6 +40,14 @@ def main() -> None:
     b.add_argument("--store-vectors", action="store_true")
     b.add_argument("--id-col", default="vec_id")
     b.add_argument("--vec-col", default="embedding")
+    a = sub.add_parser("append")
+    a.add_argument("--index", required=True)
+    a.add_argument("--input", required=True,
+                   help="parquet with new (vec_id, embedding) rows")
+    a.add_argument("--on-conflict", default="error",
+                   choices=["error", "skip"])
+    a.add_argument("--id-col", default="vec_id")
+    a.add_argument("--vec-col", default="embedding")
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)
     q.add_argument("--queries", required=True,
@@ -63,6 +76,17 @@ def main() -> None:
         print(json.dumps({
             "index": args.output, "n_centroids": args.centroids,
             "m": args.m, "ks": args.ks,
+            "elapsed_sec": round(time.time() - t0, 3),
+        }))
+    elif args.cmd == "append":
+        emb = spark.read.parquet(args.input)
+        t0 = time.time()
+        n = similarity.append_ann_index(
+            spark, args.index, emb, id_col=args.id_col,
+            vec_col=args.vec_col, on_conflict=args.on_conflict,
+        )
+        print(json.dumps({
+            "index": args.index, "appended_vectors": int(n),
             "elapsed_sec": round(time.time() - t0, 3),
         }))
     else:
