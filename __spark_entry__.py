@@ -843,6 +843,47 @@ def _phrase_sql() -> str:
     return f"WITH {_TOKPOS0_CTE} " + " UNION ALL ".join(joins)
 
 
+NEAR_SLOP = 2
+
+
+def q_phrase_near(spark, sf_dir):
+    """Ordered-proximity (slop) phrase search: term i may sit up to
+    NEAR_SLOP positions beyond its exact-adjacency slot, positions
+    strictly increasing; n_matches counts distinct admissible start
+    positions. slop=0 degenerates to phrase_search (identity asserted in
+    tests, along with sharded ≡ merged under slop)."""
+    from cer_for_mti_spark.operators import phrase as ph
+
+    positional = ph.build_positional_postings(_docs(spark, sf_dir))
+    qs = spark.createDataFrame(PHRASES, "query_id int, query string")
+    return ph.phrase_search(qs, positional, slop=NEAR_SLOP)
+
+
+def _phrase_near_sql(slop: int = NEAR_SLOP) -> str:
+    """Proximity oracle: ordered chain t0 < t1 < ... with
+    t_i.pos <= t0.pos + i + slop; n_matches = count of DISTINCT start
+    positions admitting a chain (the engine counts starts, not chains)."""
+    joins = []
+    for pid, p in PHRASES:
+        terms = p.split()
+        conds = [f"t0.token = '{terms[0]}'"]
+        tabs = ["tokpos t0"]
+        for i, t in enumerate(terms[1:], start=1):
+            tabs.append(f"tokpos t{i}")
+            conds.append(
+                f"t{i}.doc_id = t0.doc_id AND t{i}.pos > t{i - 1}.pos "
+                f"AND t{i}.pos <= t0.pos + {i + slop} "
+                f"AND t{i}.token = '{t}'"
+            )
+        joins.append(
+            f"SELECT {pid} AS phrase_id, t0.doc_id, "
+            "count(DISTINCT t0.pos)::INT AS n_matches "
+            f"FROM {', '.join(tabs)} WHERE {' AND '.join(conds)} "
+            "GROUP BY 2"
+        )
+    return f"WITH {_TOKPOS0_CTE} " + " UNION ALL ".join(joins)
+
+
 def q_asof_join(spark, sf_dir):
     """Point-in-time as-of join: every event picks up the most recent
     prior (or simultaneous) state row of its user. Right side deduped per
@@ -899,7 +940,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     asof_join) and this round's new oracles (ann_ivf_kmeans,
     domain_cap_hashed) well inside any cap."""
     return {
-        "tpch_q1": q_tpch_q1,
         "doc_terms": q_doc_terms,
         "term_dictionary": q_term_dictionary,
         "doc_stats": q_doc_stats,
@@ -910,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_conjunctive_sharded": q_bm25_conjunctive_sharded,
         "phrase_search": q_phrase_search,
         "phrase_search_sharded": q_phrase_search_sharded,
+        "phrase_near": q_phrase_near,
         "asof_join": q_asof_join,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "domain_cap_hashed": q_domain_cap_hashed,
@@ -956,8 +997,9 @@ def queries_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entries trimmed from the driver dict to honour its ~50-query cap,
     each redundant with a driver row or a pytest suite:
 
-    - top_orders / event_stats: generic scan-agg sanity queries, the
-      shapes tpch_q1 and sessionize already cover;
+    - tpch_q1 / top_orders / event_stats: generic scan-agg sanity
+      queries — no §2 operator maps to them, and sessionize covers the
+      events-table shape;
     - doc_terms_narrow: identical relation to doc_terms by construction
       (narrow-vs-shuffle parity test in tests/test_index_bm25.py);
     - bootstrap_stats: numpy seed-13 RNG summary — its exact hash twin
@@ -968,6 +1010,7 @@ def queries_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Still run + oracle-compared locally by tests/test_driver_contract.py
     (which merges this dict and oracle_sql_extra into its sweep)."""
     return {
+        "tpch_q1": q_tpch_q1,
         "top_orders": q_top_orders,
         "event_stats": q_event_stats,
         "doc_terms_narrow": q_doc_terms_narrow,
@@ -1554,15 +1597,6 @@ def oracle_sql() -> dict[str, str]:
         f"list_filter({_T}, x -> x <> ''))), ' ')"
     )
     return {
-        "tpch_q1": """
-SELECT l_returnflag, l_linestatus,
-       sum(l_quantity) AS sum_qty,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       count(*)::BIGINT AS n_rows
-FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-GROUP BY 1, 2
-""",
         "doc_terms": f"WITH {_TOKS_CTE}, {_DT_CTE} SELECT * FROM dt",
         "doc_terms_chem": _doc_terms_chem_sql(),
         "brat_parse": _brat_parse_sql(),
@@ -1615,6 +1649,7 @@ FROM documents
         "ann_pq": _ann_pq_sql(),
         "phrase_search": _phrase_sql(),
         "phrase_search_sharded": _phrase_sql(),
+        "phrase_near": _phrase_near_sql(),
         "asof_join": f"""
 WITH r AS (SELECT user_id, ts, max(value) AS state_value FROM events
            WHERE {md5_60_sql("event_id::VARCHAR")} % 5 = 0 GROUP BY 1, 2)
@@ -1817,6 +1852,15 @@ def oracle_sql_extra() -> dict[str, str]:
     compare only accepts keys present in queries()), but merged into
     tests/test_driver_contract.py's local sweep."""
     return {
+        "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       count(*)::BIGINT AS n_rows
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+""",
         "top_orders": """
 SELECT l_orderkey,
        round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue

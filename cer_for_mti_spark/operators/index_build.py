@@ -826,6 +826,20 @@ def _new_batch_id(spark, index_path: str) -> str:
     return f"b{i:04d}"
 
 
+def _batch_already_committed(spark, index_path: str,
+                             batch_id: str | None, stage: str | None) -> bool:
+    """True iff an explicitly-named batch has fully committed (staging
+    dir removed — the commit loop's last act — and lineage rows exist).
+    This is what makes a replayed foreachBatch micro-batch a NO-OP: the
+    streaming engine re-delivers the same batch id after a restart, and
+    the append must be exactly-once. A partially-committed batch still
+    has its staging dir, so it takes the resume path instead."""
+    if batch_id is None or (stage and os.path.exists(f"{stage}/_STAGED")):
+        return False
+    return any(b == batch_id
+               for b, _ in _append_lineage_committed(spark, index_path))
+
+
 def _commit_append_units(spark, index_path: str, batch_id: str,
                          units: list[tuple[str, str, str]],
                          fail_after: int | None) -> bool:
@@ -912,6 +926,8 @@ def append_runs_index(spark, index_path: str, new_docs: DataFrame,
         )
     stage = (f"{index_path}/.staging/append_{batch_id}"
              if batch_id is not None else None)
+    if _batch_already_committed(spark, index_path, batch_id, stage):
+        return 0
 
     if stage is None or not os.path.exists(f"{stage}/_STAGED"):
         ds = spark.read.parquet(f"{index_path}/doc_stats")
@@ -1006,6 +1022,8 @@ def append_positional_runs_index(spark, index_path: str,
         )
     stage = (f"{index_path}/.staging/append_{batch_id}"
              if batch_id is not None else None)
+    if _batch_already_committed(spark, index_path, batch_id, stage):
+        return 0
 
     if stage is None or not os.path.exists(f"{stage}/_STAGED"):
         docs_dir = f"{index_path}/docs"

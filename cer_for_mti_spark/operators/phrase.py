@@ -245,7 +245,7 @@ def phrase_search_from_index(spark, index_path: str, phrases: DataFrame,
                              mode: str = "simple", num_shards: int = 32,
                              base_df: DataFrame | None = None,
                              max_posting_bytes: int | None = -1,
-                             ) -> DataFrame:
+                             slop: int = 0) -> DataFrame:
     """Scan-pruned phrase search over a written positional index: the
     phrase batch's terms (and their shards — a pure function of the term)
     are literal filters, so only |terms| row groups are touched at query
@@ -267,9 +267,9 @@ def phrase_search_from_index(spark, index_path: str, phrases: DataFrame,
         F.col("shard").isin(shards) & F.col("term").isin(sorted(terms))
     )
     if max_posting_bytes == -1:
-        return phrase_search(phrases, pruned, mode)
+        return phrase_search(phrases, pruned, mode, slop=slop)
     return phrase_search(phrases, pruned, mode,
-                         max_posting_bytes=max_posting_bytes)
+                         max_posting_bytes=max_posting_bytes, slop=slop)
 
 
 def phrase_terms(phrase: str, mode: str = "simple") -> list[str]:
@@ -331,6 +331,66 @@ def _match_adjacency(qid: int, need: int, decoded: dict) -> pd.DataFrame:
     })
 
 
+def _occurrence_keys(decoded_i, docs_common: np.ndarray,
+                     shift: np.int64) -> tuple[np.ndarray, np.ndarray]:
+    """All occurrences of one term restricted to docs_common, as sorted
+    packed keys rank*shift + pos (rank = index into docs_common), plus
+    the parallel rank array."""
+    ids, tfs, starts, ends, pos = decoded_i
+    sel = np.searchsorted(ids, docs_common)
+    lens = ends[sel] - starts[sel]
+    prefix = np.cumsum(lens) - lens
+    take = np.arange(int(lens.sum())) + np.repeat(starts[sel] - prefix, lens)
+    ranks = np.repeat(np.arange(len(docs_common), dtype=np.int64), lens)
+    return ranks * shift + pos[take], ranks
+
+
+def _match_slop(qid: int, need: int, decoded: dict,
+                slop: int) -> pd.DataFrame:
+    """Proximity (slop) core: an occurrence is an ordered position tuple
+    p_0 < p_1 < ... < p_{need-1} (p_i a position of term i) with every
+    term at most `slop` positions beyond its exact-adjacency slot:
+    p_i <= p_0 + i + slop. slop=0 reduces exactly to adjacency.
+    n_matches counts the distinct start positions p_0 that admit such a
+    tuple.
+
+    Fully vectorized greedy DP over the packed (doc rank, pos) keys:
+    for each surviving start, keep the SMALLEST feasible p_i
+    (searchsorted for the first occurrence after the current last); the
+    upper bound is monotone in p_i, so the greedy choice is optimal and
+    a start either survives every step or is dropped. No per-doc Python
+    loop — same cost shape as the adjacency core."""
+    if len(decoded) < need:
+        return pd.DataFrame(_EMPTY_HITS)
+    docs_common = decoded[0][0]
+    for i in range(1, need):
+        docs_common = np.intersect1d(docs_common, decoded[i][0],
+                                     assume_unique=True)
+    if not len(docs_common):
+        return pd.DataFrame(_EMPTY_HITS)
+    SHIFT = np.int64(1) << 33
+    k0, _ = _occurrence_keys(decoded[0], docs_common, SHIFT)
+    live_start = k0          # packed (rank, p_0) of surviving starts
+    last = k0.copy()         # packed (rank, p_{i}) of the greedy chain
+    for i in range(1, need):
+        if not len(live_start):
+            break
+        ki, _ = _occurrence_keys(decoded[i], docs_common, SHIFT)
+        idx = np.searchsorted(ki, last + 1)       # first occurrence > last
+        ok = idx < len(ki)
+        cand = ki[np.minimum(idx, len(ki) - 1)]
+        # bound stays within the start's own rank: pos < 2^31 and
+        # slop + need < 2^31 keep rank*SHIFT + p_0 + i + slop < (rank+1)*SHIFT
+        ok &= cand <= live_start + np.int64(i + slop)
+        live_start, last = live_start[ok], cand[ok]
+    hit_ranks, counts = np.unique(live_start // SHIFT, return_counts=True)
+    return pd.DataFrame({
+        "phrase_id": np.full(len(hit_ranks), qid, dtype=np.int64),
+        "doc_id": docs_common[hit_ranks],
+        "n_matches": counts.astype(np.int64),
+    })
+
+
 def _phrase_want(phrases: DataFrame, mode: str):
     """phrases -> ((query_id, term_idx, term) rows, {qid: n_terms})."""
     pairs = []
@@ -349,11 +409,17 @@ DEFAULT_MAX_POSTING_BYTES = 256 << 20  # one task's posting-fetch budget
 def phrase_search(phrases: DataFrame, positional: DataFrame,
                   mode: str = "simple",
                   max_posting_bytes: int | None = DEFAULT_MAX_POSTING_BYTES,
-                  ) -> DataFrame:
+                  slop: int = 0) -> DataFrame:
     """(phrase_id, phrase) x positional postings -> (phrase_id, doc_id,
     n_matches). Terms are broadcast-pruned; each phrase's postings are
     co-located with applyInPandas; adjacency is verified with numpy set
     intersections (positions of term i+1 shifted by -(i+1)).
+
+    slop > 0 relaxes exact adjacency to ordered proximity: term i may
+    sit up to `slop` positions beyond its exact slot
+    (p_i <= p_0 + i + slop, positions strictly increasing) — the
+    standard full-text NEAR/ordered-proximity operator. slop=0 is exact
+    adjacency (the default, and the faster set-intersection core).
 
     Scale contract (ENFORCED, not just documented): groupBy(query_id)
     fetches ALL of a phrase's posting bytes into ONE task — fine while
@@ -391,6 +457,8 @@ def phrase_search(phrases: DataFrame, positional: DataFrame,
             row = pdf.iloc[j]
             by_idx.setdefault(int(row["term_idx"]), row)
         decoded = {i: _decode_positional(r) for i, r in by_idx.items()}
+        if slop:
+            return _match_slop(qid, n_terms[qid], decoded, slop)
         return _match_adjacency(qid, n_terms[qid], decoded)
 
     return fetched.groupBy("query_id").applyInPandas(match, PHRASE_HIT_SCHEMA)
@@ -520,7 +588,7 @@ def _decode_rows_merged(rows: list) -> tuple:
 
 
 def phrase_search_sharded(phrases: DataFrame, pos_runs: DataFrame,
-                          mode: str = "simple") -> DataFrame:
+                          mode: str = "simple", slop: int = 0) -> DataFrame:
     """Doc-range-sharded phrase search — result-identical to
     phrase_search, with BOUNDED per-task bytes.
 
@@ -548,6 +616,11 @@ def phrase_search_sharded(phrases: DataFrame, pos_runs: DataFrame,
             row = pdf.iloc[j]
             by_idx[int(row["term_idx"])].append(row)
         decoded = {i: _decode_rows_merged(rs) for i, rs in by_idx.items()}
+        if slop:
+            # positions are doc-local and a doc never spans buckets, so
+            # bucket-local proximity is exact — same union argument as
+            # adjacency
+            return _match_slop(qid, n_terms[qid], decoded, slop)
         return _match_adjacency(qid, n_terms[qid], decoded)
 
     return fetched.groupBy("query_id", "bucket").applyInPandas(
@@ -589,7 +662,7 @@ def phrase_search_sharded_from_index(spark, index_path: str,
                                      mode: str = "simple",
                                      num_shards: int = 32,
                                      base_df: DataFrame | None = None,
-                                     ) -> DataFrame:
+                                     slop: int = 0) -> DataFrame:
     """Scan-pruned sharded phrase search over a written positional-runs
     index: shard + term literal filters (PartitionFilters + PushedFilters),
     then per-(phrase, bucket) matching — the full 10^12-doc phrase shape:
@@ -610,7 +683,7 @@ def phrase_search_sharded_from_index(spark, index_path: str,
     pruned = df.filter(
         F.col("shard").isin(shards) & F.col("term").isin(sorted(terms))
     )
-    return phrase_search_sharded(phrases, pruned, mode)
+    return phrase_search_sharded(phrases, pruned, mode, slop=slop)
 
 
 def compact_positional_runs(spark, index_path: str,

@@ -689,6 +689,8 @@ def append_ann_index(spark, path: str, new_emb: DataFrame,
         )
     stage = (f"{path}/.staging/append_{batch_id}"
              if batch_id is not None else None)
+    if ib_mod._batch_already_committed(spark, path, batch_id, stage):
+        return 0
 
     if stage is None or not os.path.exists(f"{stage}/_STAGED"):
         codes = spark.read.option("basePath", f"{path}/codes").parquet(

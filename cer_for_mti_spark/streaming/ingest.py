@@ -55,6 +55,48 @@ def stream_doc_terms(spark: SparkSession, input_dir: str,
     )
 
 
+def stream_append_runs_index(spark: SparkSession, input_dir: str,
+                             index_path: str, checkpoint_dir: str,
+                             mode: str = "simple", num_shards: int = 32,
+                             avgdl: float | None = None,
+                             schema: str = DOCS_STREAM_SCHEMA):
+    """File-source stream -> merge-free ATOMIC appends straight into a
+    written runs index (no delta-table hop, no compaction needed to
+    query): each micro-batch runs index_build.append_runs_index with a
+    lineage-keyed batch id ``stream-<id>``.
+
+    Exactly-once END TO END: the checkpointed file source re-delivers a
+    micro-batch after a crash/restart with the SAME batch id, and the
+    append layer makes the replay safe in every crash position — batch
+    fully committed -> no-op (lineage says so); batch partially
+    committed -> staged bytes resume to the identical index; batch never
+    staged -> a normal append. Impacts bake the index's avgdl read ONCE
+    at stream start (frozen Lucene-segment contract; periodic stats
+    refresh = rebuild, as everywhere)."""
+    if avgdl is None:
+        _, avgdl = ib.corpus_stats(
+            spark.read.parquet(f"{index_path}/doc_stats")
+        )
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ib.append_runs_index(
+            spark, index_path, batch_df, avgdl, mode=mode,
+            num_shards=num_shards, batch_id=f"stream-{batch_id}",
+        )
+
+    return (
+        docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 SESSION_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long, total_value double"

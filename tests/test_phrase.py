@@ -295,3 +295,75 @@ def test_phrase_search_posting_bytes_guard(spark, webtext, positional):
     assert ph.phrase_search(qs, positional).count() > 0
     assert ph.phrase_search(qs, positional,
                             max_posting_bytes=None).count() > 0
+
+
+def _brute_near(tokens, terms, slop):
+    """Greedy proximity reference: count start positions p0 (occurrences
+    of terms[0]) admitting an ordered chain with p_i <= p0 + i + slop."""
+    n = 0
+    for p0, t in enumerate(tokens):
+        if t != terms[0]:
+            continue
+        last, ok = p0, True
+        for i, ti in enumerate(terms[1:], start=1):
+            nxt = next((p for p in range(last + 1,
+                                         min(p0 + i + slop, len(tokens) - 1)
+                                         + 1)
+                        if tokens[p] == ti), None)
+            if nxt is None:
+                ok = False
+                break
+            last = nxt
+        if ok:
+            n += 1
+    return n
+
+
+@pytest.mark.parametrize("slop", [1, 2])
+def test_phrase_slop_vs_bruteforce(spark, webtext, positional, slop):
+    """Proximity search equals a per-doc greedy token-window scan, and
+    the sharded path is result-identical to the merged one under slop."""
+    queries = ["the of", "of the and", "the the"]
+    qs = spark.createDataFrame(list(enumerate(queries)),
+                               "query_id int, query string")
+    got = {(r.phrase_id, r.doc_id): r.n_matches
+           for r in ph.phrase_search(qs, positional, slop=slop).collect()}
+    toks = {r.doc_id: r.text.split() for r in webtext.collect()}
+    want = {}
+    for qid, q in enumerate(queries):
+        terms = q.split()
+        for d, tk in toks.items():
+            c = _brute_near(tk, terms, slop)
+            if c:
+                want[(qid, d)] = c
+    assert got == want and len(got) > 0
+
+    runs = ph.build_positional_runs(webtext, salt=8)
+    sharded = {(r.phrase_id, r.doc_id): r.n_matches
+               for r in ph.phrase_search_sharded(qs, runs,
+                                                 slop=slop).collect()}
+    assert sharded == want
+
+
+def test_phrase_slop_zero_is_adjacency(spark, positional):
+    """slop=1 hits are a superset of exact-adjacency hits per doc, and
+    the slop matcher at slop=0 (forced through _match_slop) returns
+    exactly the adjacency results."""
+    qs = spark.createDataFrame([(0, "the of"), (1, "the the")],
+                               "query_id int, query string")
+    exact = {(r.phrase_id, r.doc_id): r.n_matches
+             for r in ph.phrase_search(qs, positional).collect()}
+    near = {(r.phrase_id, r.doc_id): r.n_matches
+            for r in ph.phrase_search(qs, positional, slop=1).collect()}
+    assert set(exact) <= set(near)
+    assert all(near[k] >= v for k, v in exact.items())
+    # force the slop core at slop=0 by monkey-dispatch: decoded-level
+    # equality on a fetched phrase group
+    import numpy as np
+    rows = positional.filter(F.col("term").isin(["the", "of"])).collect()
+    by_term = {r["term"]: ph._decode_positional(r) for r in rows}
+    decoded = {0: by_term["the"], 1: by_term["of"]}
+    a = ph._match_adjacency(7, 2, decoded)
+    b = ph._match_slop(7, 2, decoded, 0)
+    assert sorted(map(tuple, a.values.tolist())) == \
+        sorted(map(tuple, b.values.tolist()))

@@ -170,3 +170,62 @@ def test_sessionize_stream_late_events(spark, tmp_path):
     }
     assert (1, 5.0, "2025-01-01 00:00:00") in got
     assert (2, 3.0, "2025-01-01 01:45:00") in got
+
+
+def test_stream_append_runs_index(spark, tmp_path):
+    """Streaming straight into the runs index: micro-batches are atomic
+    lineage-keyed appends, the final index is query-identical to
+    from-scratch runs over base+streamed docs at the frozen avgdl, a
+    checkpoint restart with no new files appends nothing, and an
+    explicit replay of a committed stream batch id is a no-op."""
+    from cer_for_mti_spark.operators import bm25
+
+    full = datagen.generate_webtext(spark, 100, seed=41).cache()
+    base = full.filter(F.col("doc_id") < 50)
+    new = full.filter(F.col("doc_id") >= 50)
+    dt = ib.build_doc_terms(base).cache()
+    ds = ib.build_doc_stats(dt)
+    _, avgdl = ib.corpus_stats(ds)
+    idx = str(tmp_path / "stream_runs_idx")
+    ib.write_runs_index(
+        ib.build_posting_runs(dt, ds, avgdl, salt=4, n_docs=100),
+        ds, idx, num_shards=4)
+
+    input_dir = str(tmp_path / "stream_docs_in")
+    new.repartition(5).write.parquet(input_dir)  # >1 micro-batch at 4/trigger
+    ckpt = str(tmp_path / "stream_ckpt")
+    sch = "doc_id long, text string, lang string, source string, n_chars long"
+    q = ingest.stream_append_runs_index(spark, input_dir, idx, ckpt,
+                                        num_shards=4, schema=sch)
+    q.awaitTermination(180)
+
+    assert spark.read.parquet(f"{idx}/doc_stats").count() == 100
+    qs = spark.createDataFrame(
+        [(0, "the data"), (1, "insulin protein")],
+        "query_id int, query string")
+    got = sorted(
+        (r.query_id, r.rank, r.doc_id, round(r.score, 6))
+        for r in bm25.bm25_wand_sharded_from_index(
+            spark, idx, qs, 100, avgdl, k=10, num_shards=4).collect())
+    dt_f = ib.build_doc_terms(full)
+    ds_f = ib.build_doc_stats(dt_f)
+    runs_f = ib.build_posting_runs(dt_f, ds_f, avgdl, salt=4, n_docs=100)
+    want = sorted(
+        (r.query_id, r.rank, r.doc_id, round(r.score, 6))
+        for r in bm25.bm25_wand_sharded(qs, runs_f, 100, avgdl,
+                                        k=10).collect())
+    assert got == want and len(got) > 0
+
+    # checkpoint restart, no new files -> no duplicate appends
+    q2 = ingest.stream_append_runs_index(spark, input_dir, idx, ckpt,
+                                         num_shards=4, schema=sch)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(f"{idx}/doc_stats").count() == 100
+
+    # an explicit replay of a committed stream batch is a lineage no-op
+    lin = spark.read.parquet(f"{idx}/append_lineage")
+    bids = sorted({r.batch_id for r in lin.select("batch_id").collect()})
+    assert bids and all(b.startswith("stream-") for b in bids)
+    assert ib.append_runs_index(spark, idx, new, avgdl, num_shards=4,
+                                batch_id=bids[0]) == 0
+    assert spark.read.parquet(f"{idx}/doc_stats").count() == 100

@@ -34,6 +34,10 @@ def main() -> None:
     ap.add_argument("--sharded", action="store_true")
     ap.add_argument("--conjunctive", action="store_true")
     ap.add_argument("--phrase", action="store_true")
+    ap.add_argument("--slop", type=int, default=0,
+                    help="with --phrase: ordered-proximity tolerance "
+                         "(term i may sit up to slop positions beyond "
+                         "its exact slot); 0 = exact adjacency")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -52,7 +56,7 @@ def main() -> None:
 
         hits = ph.phrase_search_sharded_from_index(
             spark, args.index, queries, mode=args.mode,
-            num_shards=args.shards,
+            num_shards=args.shards, slop=args.slop,
         )
         for r in hits.orderBy("phrase_id", "doc_id").collect():
             print(json.dumps({
