@@ -925,6 +925,35 @@ def q_reference_golden_metrics(spark, sf_dir):
     )
 
 
+def q_kwic(spark, sf_dir):
+    """Keyword-in-context snippets for a phrase: every exact occurrence
+    with 3 tokens of context either side — pure codegen (split /
+    sequence / slice), no shuffle, the result-presentation op a search
+    engine runs over a phrase query's hit pages."""
+    from cer_for_mti_spark.operators import phrase as ph
+
+    return ph.kwic_snippets(_docs(spark, sf_dir), "table scan", width=3)
+
+
+def _kwic_sql(phrase: str = "table scan", width: int = 3) -> str:
+    terms = phrase.split()
+    n = len(terms)
+    lit = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+    return f"""
+WITH t AS (SELECT doc_id, list_filter({_T}, x -> x <> '') AS a
+           FROM documents),
+p AS (SELECT doc_id, a,
+             unnest(list_filter(range(0, len(a) - {n} + 1),
+                                i -> a[i + 1 : i + {n}] = {lit})) AS pos
+      FROM t WHERE len(a) >= {n})
+SELECT doc_id, pos::INT AS pos,
+       array_to_string(a[greatest(0, pos - {width}) + 1 :
+                         least(len(a), pos + {n} + {width})], ' ')
+         AS snippet
+FROM p
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build + block-max WAND BM25 top-10 at sf0.001."""
     return q_bm25_wand(spark, "/root/testdata/sf0.001")
@@ -1002,6 +1031,9 @@ def queries_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       events-table shape;
     - doc_terms_narrow: identical relation to doc_terms by construction
       (narrow-vs-shuffle parity test in tests/test_index_bm25.py);
+    - kwic: keyword-in-context snippets — oracle-checked here; the
+      driver dict's phrase rows already cover the positional semantics
+      it presents;
     - bootstrap_stats: numpy seed-13 RNG summary — its exact hash twin
       bootstrap_prf has a full driver oracle;
     - reference_golden_metrics: 26 golden rows asserted exactly in
@@ -1013,6 +1045,7 @@ def queries_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "top_orders": q_top_orders,
         "event_stats": q_event_stats,
+        "kwic": q_kwic,
         "doc_terms_narrow": q_doc_terms_narrow,
         "bootstrap_stats": q_bootstrap_stats,
         "reference_golden_metrics": q_reference_golden_metrics,
@@ -1867,6 +1900,7 @@ SELECT l_orderkey,
 FROM lineitem GROUP BY 1 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
 """,
         "doc_terms_narrow": f"WITH {_TOKS_CTE}, {_DT_CTE} SELECT * FROM dt",
+        "kwic": _kwic_sql(),
         "event_stats": """
 SELECT event_type, count(*)::BIGINT AS n, round(avg(value), 4) AS avg_value,
        count(DISTINCT user_id)::BIGINT AS n_users

@@ -526,7 +526,12 @@ def main() -> None:
             "absolute numbers carry that noise (two clean r03 runs "
             "measured the identical uniform build at 39.2s and 64.0s; "
             "scaling efficiency 0.858 and 0.848). Cross-run clean "
-            "measurements are recorded in BENCH_LOCAL_r0*.json. One "
+            "measurements are recorded in BENCH_LOCAL_r0*.json. Two clean r04 "
+            "runs: efficiency 0.989 / 0.835 (both pass), skew "
+            "median-of-pairs 1.05x / 1.64x with pairs 0.77..2.26 — the "
+            "noisiest metric here; the guarded failure mode would read "
+            "~8x. WAND<naive and sharded<merged phrase orderings were "
+            "stable in both runs. One "
             "measured in-process artifact is FIXED in this harness: "
             "caching the 12.5M-row doc_terms relation before the WAND "
             "timings pressured the JVM heap and inflated them 2-3x; the "

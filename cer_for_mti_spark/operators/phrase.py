@@ -753,3 +753,47 @@ def compact_positional_runs(spark, index_path: str,
     shutil.rmtree(trash)
     shutil.rmtree(staging, ignore_errors=True)
     return int(n_before), int(n_after)
+
+
+def kwic_snippets(docs: DataFrame, phrase: str, width: int = 3,
+                  text_col: str = "text",
+                  hits: DataFrame | None = None) -> DataFrame:
+    """Keyword-in-context result presentation: every exact-adjacency
+    occurrence of `phrase` with up to `width` tokens of context either
+    side -> (doc_id, pos, snippet), pos = 0-based token offset of the
+    match start.
+
+    Pure codegen column expressions (split / sequence / slice / filter)
+    — a narrow per-doc pass, NO shuffle, no Python. At 100 TB you run it
+    only over the docs a phrase_search already found: pass its hit
+    relation via `hits` and the scan is semi-joined down to result pages
+    before any tokenization happens. Whitespace tokenization only (the
+    display op should show the user the raw token stream; the analyzer
+    modes exist for INDEXING, not presentation)."""
+    terms = phrase_terms(phrase, "simple")
+    n = len(terms)
+    spark = docs.sparkSession
+    if not n:
+        return spark.createDataFrame([], "doc_id long, pos int, snippet string")
+    if hits is not None:
+        docs = docs.join(hits.select("doc_id").distinct(), "doc_id",
+                         "left_semi")
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    base = docs.select("doc_id", toks.alias("_t")).filter(
+        F.size("_t") >= n
+    )
+    phrase_arr = F.array(*[F.lit(t) for t in terms])
+    starts = F.filter(
+        F.sequence(F.lit(0), F.size("_t") - n),
+        lambda i: F.slice("_t", i + F.lit(1), n) == phrase_arr,
+    )
+    exploded = base.select("doc_id", "_t", F.explode(starts).alias("pos"))
+    start = F.greatest(F.lit(0), F.col("pos") - width)
+    end = F.least(F.size("_t"), F.col("pos") + n + width)
+    return exploded.select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.array_join(F.slice("_t", start + 1, end - start), " ").alias(
+            "snippet"
+        ),
+    )

@@ -367,3 +367,32 @@ def test_phrase_slop_zero_is_adjacency(spark, positional):
     b = ph._match_slop(7, 2, decoded, 0)
     assert sorted(map(tuple, a.values.tolist())) == \
         sorted(map(tuple, b.values.tolist()))
+
+
+def test_kwic_snippets(spark, webtext, positional):
+    """KWIC presentation: snippet count per doc equals phrase_search's
+    n_matches, every snippet contains the phrase, edge occurrences get
+    truncated context, and the hits semi-join prunes the scan to result
+    docs only."""
+    phrase = "of the"
+    qs = spark.createDataFrame([(0, phrase)], "query_id int, query string")
+    hits = ph.phrase_search(qs, positional)
+    want = {r.doc_id: r.n_matches for r in hits.collect()}
+    snips = ph.kwic_snippets(webtext, phrase, width=3).collect()
+    got = {}
+    for r in snips:
+        got[r.doc_id] = got.get(r.doc_id, 0) + 1
+        assert f"of the" in r.snippet
+        assert len(r.snippet.split()) <= 2 + 2 * 3
+    assert got == want and len(got) > 0
+    # snippet window is exactly the token slice around the match
+    toks = {r.doc_id: [t for t in r.text.split() if t]
+            for r in webtext.collect()}
+    for r in snips[:50]:
+        tk = toks[r.doc_id]
+        lo = max(0, r.pos - 3)
+        hi = min(len(tk), r.pos + 2 + 3)
+        assert r.snippet == " ".join(tk[lo:hi])
+    # semi-joined variant returns the same rows
+    pruned = ph.kwic_snippets(webtext, phrase, width=3, hits=hits).collect()
+    assert sorted(map(tuple, pruned)) == sorted(map(tuple, snips))

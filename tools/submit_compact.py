@@ -1,0 +1,80 @@
+"""spark-submit entry point: offline compaction of written indexes.
+
+    spark-submit --py-files /tmp/cer_for_mti_spark.zip \
+        tools/submit_compact.py runs --index <runs index dir> [--shards 32]
+    spark-submit ... tools/submit_compact.py positional \
+        --index <positional runs index dir> [--shards 32]
+    spark-submit ... tools/submit_compact.py merged \
+        --index <merged index dir> --delta <doc_terms delta dir> \
+        --output <new index dir> [--shards 32] [--on-conflict skip] \
+        [--rebuild-threshold 0.5]
+
+runs / positional: fold the one-run-per-(term, bucket, batch) layout the
+merge-free appends accumulate back to exactly one run per (term, bucket)
+— results identical before/after (byte-level for positional, rank-level
+for BM25 at the frozen bake avgdl, which `runs` reads from the index's
+own doc_stats). merged: index_build.compact_index — streamed doc_terms
+deltas merged into the merged-postings layout (auto-upgrades to a
+stats-refresh rebuild past the drift threshold). Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    r = sub.add_parser("runs")
+    r.add_argument("--index", required=True)
+    r.add_argument("--shards", type=int, default=32)
+    p = sub.add_parser("positional")
+    p.add_argument("--index", required=True)
+    p.add_argument("--shards", type=int, default=32)
+    m = sub.add_parser("merged")
+    m.add_argument("--index", required=True)
+    m.add_argument("--delta", required=True)
+    m.add_argument("--output", required=True)
+    m.add_argument("--shards", type=int, default=32)
+    m.add_argument("--on-conflict", default="error",
+                   choices=["error", "skip"])
+    m.add_argument("--rebuild-threshold", type=float, default=0.5)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from cer_for_mti_spark.operators import index_build as ib
+
+    spark = SparkSession.builder.appName("cer_compact").getOrCreate()
+    t0 = time.time()
+    if args.cmd == "runs":
+        ds = spark.read.parquet(f"{args.index}/doc_stats")
+        _, avgdl = ib.corpus_stats(ds)
+        before, after = ib.compact_runs_index(spark, args.index, avgdl,
+                                              num_shards=args.shards)
+        out = {"index": args.index, "runs_before": before,
+               "runs_after": after, "frozen_avgdl": round(avgdl, 4)}
+    elif args.cmd == "positional":
+        from cer_for_mti_spark.operators import phrase as ph
+
+        before, after = ph.compact_positional_runs(spark, args.index,
+                                                   num_shards=args.shards)
+        out = {"index": args.index, "runs_before": before,
+               "runs_after": after}
+    else:
+        n, avgdl = ib.compact_index(
+            spark, args.index, args.delta, args.output,
+            num_shards=args.shards, on_conflict=args.on_conflict,
+            rebuild_threshold=args.rebuild_threshold)
+        out = {"index": args.output, "n_docs": n,
+               "avgdl_in_effect": round(avgdl, 4)}
+    out["elapsed_sec"] = round(time.time() - t0, 3)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
