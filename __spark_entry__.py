@@ -925,6 +925,76 @@ def q_reference_golden_metrics(spark, sf_dir):
     )
 
 
+EX_QUERY_SET = [
+    (0, "spark join", "window"),       # common exclusion
+    (1, "customer table", "the"),      # stop-word exclusion: most docs drop
+    (2, "window merge", "zzz"),        # OOV exclusion: a no-op
+    (3, "stream batch", "batch"),      # term both pos and neg: neg wins
+    (4, "spark", None),                # no exclusion at all
+]
+
+
+def q_bm25_exclude(spark, sf_dir):
+    """Boolean NOT retrieval: BM25 over the positive terms, documents
+    containing ANY excluded term dropped BEFORE the top-k cut (an
+    excluded doc can never eat a top-k slot). Exercises stop-word, OOV,
+    both-sides, and null exclusions; sharded twin is rank-identity
+    tested in tests/test_index_bm25.py."""
+    docs = _docs(spark, sf_dir)
+    dt = ib.build_doc_terms(docs).cache()
+    ds = ib.build_doc_stats(dt)
+    n, avgdl = ib.corpus_stats(ds)
+    postings = ib.build_postings(dt, ds, avgdl, n_docs=n)
+    queries = spark.createDataFrame(
+        EX_QUERY_SET, "query_id int, query string, exclude string")
+    return bm25.bm25_exclude(queries, postings, n, avgdl, k=10)
+
+
+def _bm25_exclude_sql(k: int = 10) -> str:
+    """NOT oracle: the standard BM25 sum over each query's positive
+    terms (positive = tokenized query MINUS tokenized exclusion — the
+    engine's neg-wins contract), anti-joined against docs containing any
+    excluded term, THEN ranked."""
+    pos_vals, neg_vals = [], []
+    for qid, q, ex in EX_QUERY_SET:
+        neg = set((ex or "").split())
+        for t in dict.fromkeys(q.split()):
+            if t not in neg:
+                pos_vals.append(f"({qid}, '{t}')")
+        for t in sorted(neg):
+            neg_vals.append(f"({qid}, '{t}')")
+    pos = ", ".join(pos_vals)
+    neg = ", ".join(neg_vals)
+    return f"""
+WITH {_TOKS_CTE}, {_DT_CTE},
+ds AS (SELECT doc_id, sum(tf)::BIGINT AS doclen FROM dt GROUP BY 1),
+cs AS (SELECT count(*)::DOUBLE AS n, avg(doclen) AS avgdl FROM ds),
+qt AS (SELECT * FROM (VALUES {pos}) AS q(query_id, term)),
+nt AS (SELECT * FROM (VALUES {neg}) AS q(query_id, term)),
+tdf AS (SELECT term, count(*)::DOUBLE AS df FROM dt
+        WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+ex AS (SELECT DISTINCT nt.query_id, dt.doc_id
+       FROM nt JOIN dt USING (term)),
+scored AS (
+  SELECT qt.query_id, dt.doc_id,
+         round(sum(ln(1 + (cs.n - tdf.df + 0.5) / (tdf.df + 0.5))
+               * dt.tf * {K1 + 1.0}
+               / (dt.tf + {K1} * (1 - {B} + {B} * ds.doclen / cs.avgdl))), 6)
+           AS score
+  FROM qt JOIN dt USING (term) JOIN tdf USING (term)
+       JOIN ds ON dt.doc_id = ds.doc_id, cs
+  GROUP BY 1, 2),
+filt AS (SELECT s.* FROM scored s
+         WHERE NOT EXISTS (SELECT 1 FROM ex
+                           WHERE ex.query_id = s.query_id
+                             AND ex.doc_id = s.doc_id))
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank
+  FROM filt) WHERE rank <= {k}
+"""
+
+
 def q_kwic(spark, sf_dir):
     """Keyword-in-context snippets for a phrase: every exact occurrence
     with 3 tokens of context either side — pure codegen (split /
@@ -1034,6 +1104,8 @@ def queries_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - kwic: keyword-in-context snippets — oracle-checked here; the
       driver dict's phrase rows already cover the positional semantics
       it presents;
+    - bm25_exclude: Boolean NOT retrieval — oracle-checked here; the
+      driver dict's bm25 family covers the scoring formula it filters;
     - bootstrap_stats: numpy seed-13 RNG summary — its exact hash twin
       bootstrap_prf has a full driver oracle;
     - reference_golden_metrics: 26 golden rows asserted exactly in
@@ -1046,6 +1118,7 @@ def queries_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders": q_top_orders,
         "event_stats": q_event_stats,
         "kwic": q_kwic,
+        "bm25_exclude": q_bm25_exclude,
         "doc_terms_narrow": q_doc_terms_narrow,
         "bootstrap_stats": q_bootstrap_stats,
         "reference_golden_metrics": q_reference_golden_metrics,
@@ -1901,6 +1974,7 @@ FROM lineitem GROUP BY 1 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
 """,
         "doc_terms_narrow": f"WITH {_TOKS_CTE}, {_DT_CTE} SELECT * FROM dt",
         "kwic": _kwic_sql(),
+        "bm25_exclude": _bm25_exclude_sql(),
         "event_stats": """
 SELECT event_type, count(*)::BIGINT AS n, round(avg(value), 4) AS avg_value,
        count(DISTINCT user_id)::BIGINT AS n_users

@@ -481,6 +481,177 @@ def bm25_conjunctive_sharded(queries: DataFrame, runs: DataFrame,
     )
 
 
+def _exclusion_want(queries: DataFrame, mode: str,
+                    exclude_col: str) -> tuple[DataFrame, dict]:
+    """(query_id, term, neg) want-set for Boolean NOT retrieval, plus
+    {qid: n_pos_terms}. A term listed both positively and negatively
+    stays negative (exclusion wins — the doc is dropped regardless)."""
+    qt_pos = query_terms(queries, mode).withColumn("neg", F.lit(False))
+    qt_neg = query_terms(
+        queries.select(
+            "query_id",
+            F.coalesce(F.col(exclude_col), F.lit("")).alias("query"),
+        ),
+        mode,
+    ).withColumn("neg", F.lit(True))
+    want = (
+        qt_pos.unionByName(qt_neg)
+        .groupBy("query_id", "term")
+        .agg(F.max("neg").alias("neg"))
+    )
+    need = {
+        int(r["query_id"]): int(r["n"])
+        for r in want.filter(~F.col("neg")).groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    return want, need
+
+
+def _score_with_exclusion(pdf: pd.DataFrame, qid: int, k: int | None,
+                          n_docs: int, avgdl: float, need_pos: int,
+                          conjunctive: bool, merge_runs: bool
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """Shared NOT-semantics core: decode the group's cursors, candidates
+    = union (OR) or intersection (AND) of the POSITIVE doc lists MINUS
+    the union of negative doc lists — the exclusion happens BEFORE any
+    top-k cut, so excluded docs can never eat top-k slots. Returns
+    (doc_ids, rounded scores) of the k best (all, if k is None)."""
+    by_term: dict[str, list] = {}
+    for i in range(len(pdf)):
+        row = pdf.iloc[i]
+        by_term.setdefault(row["term"], []).append(row)
+    neg_terms = {row["term"] for rows in by_term.values()
+                 for row in rows if row["neg"]}
+    pos, neg_ids = [], []
+    for term in sorted(by_term):  # deterministic accumulation
+        rows = by_term[term]
+        if merge_runs:
+            ids_l, imps_l = [], []
+            for row in rows:
+                ids, imps, _, _, _ = _decode_cursor(row, n_docs, avgdl)
+                ids_l.append(ids)
+                imps_l.append(imps)
+            ids = np.concatenate(ids_l)
+            imps = np.concatenate(imps_l)
+            order = np.argsort(ids, kind="stable")
+            ids, imps = ids[order], imps[order]
+        else:
+            ids, imps, _, _, _ = _decode_cursor(rows[0], n_docs, avgdl)
+        if term in neg_terms:
+            neg_ids.append(ids)
+        else:
+            pos.append((ids, imps))
+    empty = (np.array([], dtype=np.int64), np.array([], dtype=np.float64))
+    if not pos or (conjunctive and len(pos) < need_pos):
+        return empty
+    if conjunctive:
+        cands = pos[0][0]
+        for ids, _ in pos[1:]:
+            cands = np.intersect1d(cands, ids, assume_unique=True)
+    else:
+        cands = np.unique(np.concatenate([ids for ids, _ in pos]))
+    if neg_ids:
+        cands = cands[~np.isin(cands, np.concatenate(neg_ids),
+                               assume_unique=False)]
+    if not len(cands):
+        return empty
+    score = np.zeros(len(cands), dtype=np.float64)
+    for ids, imps in pos:
+        sel = np.searchsorted(ids, cands)
+        sel = np.minimum(sel, len(ids) - 1)
+        hit = ids[sel] == cands
+        score[hit] += imps[sel[hit]]
+    scores_r = np.round(score, 6)
+    if k is not None and len(cands) > k:
+        kth = np.partition(scores_r, len(scores_r) - k)[len(scores_r) - k]
+        mask = scores_r >= kth
+        cands, scores_r = cands[mask], scores_r[mask]
+    return cands, scores_r
+
+
+def bm25_exclude(queries: DataFrame, postings: DataFrame, n_docs: int,
+                 avgdl: float, k: int = 10, mode: str = "simple",
+                 conjunctive: bool = False,
+                 exclude_col: str = "exclude") -> DataFrame:
+    """Boolean retrieval with NOT: queries carry an `exclude` column
+    (space-separated terms, analyzed like the query); documents
+    containing ANY excluded term are dropped BEFORE the top-k cut, so
+    exclusion can never be approximated away by a deeper k. Positive
+    semantics are OR (default, bm25_topk-style) or AND
+    (conjunctive=True). An all-negative or OOV-positive query returns
+    no rows.
+
+    Scale shape: identical to bm25_conjunctive's — the negative postings
+    are fetched through the same broadcast term prune and contribute
+    only their id lists; bm25_exclude_sharded is the bounded-task-bytes
+    twin (exclusion is per-doc, so bucket-local subtraction is exact)."""
+    want, need = _exclusion_want(queries, mode, exclude_col)
+    fetched = postings.join(F.broadcast(want), "term")
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        cands, scores_r = _score_with_exclusion(
+            pdf, qid, k, n_docs, avgdl, need.get(qid, 0), conjunctive,
+            merge_runs=False,
+        )
+        final = np.lexsort((cands, -scores_r))[:k]
+        return pd.DataFrame({
+            "query_id": np.full(len(final), qid, dtype=np.int64),
+            "doc_id": cands[final],
+            "score": scores_r[final],
+            "rank": np.arange(1, len(final) + 1, dtype=np.int64),
+        })
+
+    return fetched.groupBy("query_id").applyInPandas(score_group, TOPK_SCHEMA)
+
+
+def bm25_exclude_sharded(queries: DataFrame, runs: DataFrame, n_docs: int,
+                         avgdl: float, k: int = 10, mode: str = "simple",
+                         conjunctive: bool = False,
+                         exclude_col: str = "exclude") -> DataFrame:
+    """Doc-range-sharded Boolean NOT — bm25_exclude with bounded
+    per-task bytes, rank-identical to it. Exclusion is per-doc and every
+    posting of doc d lives in d's bucket, so subtracting the bucket's
+    negative id slices is exact; each bucket's top-k is a superset
+    filter of the global answer (scores complete within the bucket) and
+    one window merges the S·k candidates. idf uses global df (run-local
+    df summed per POSITIVE term; negative cursors contribute ids only)."""
+    want, need = _exclusion_want(queries, mode, exclude_col)
+    fetched = runs.join(F.broadcast(want), "term")
+    gdf = (
+        runs.join(F.broadcast(want.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.sum("df").alias("_gdf"))
+    )
+    fetched = (
+        fetched.join(F.broadcast(gdf), "term")
+        .drop("df")
+        .withColumnRenamed("_gdf", "df")
+    )
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        cands, scores_r = _score_with_exclusion(
+            pdf, qid, k, n_docs, avgdl, need.get(qid, 0), conjunctive,
+            merge_runs=True,
+        )
+        return pd.DataFrame({
+            "query_id": np.full(len(cands), qid, dtype=np.int64),
+            "doc_id": cands,
+            "score": scores_r,
+        })
+
+    cands = fetched.groupBy("query_id", "bucket").applyInPandas(
+        score_bucket, "query_id int, doc_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
 def _query_term_set(queries_rows, mode: str) -> set[str]:
     """Driver-side query analysis mirroring the index tokenizer exactly
     (incl. greek variants for chem+greek — the pruned scan must fetch

@@ -775,3 +775,66 @@ def test_compact_runs_index(spark, tmp_path):
     want = _key(bm25.bm25_wand_sharded(qs, runs_full, 120, avgdl,
                                        k=10).collect())
     assert final == want
+
+
+def test_bm25_exclude(spark, webtext, index_300):
+    """Boolean NOT: results equal the disjunctive scorer restricted to
+    docs containing NO excluded term, re-ranked AFTER exclusion (an
+    excluded doc never eats a top-k slot); OOV/null exclusions are
+    no-ops; a term listed both positively and negatively excludes; the
+    sharded path is rank-identical."""
+    dt, ds, postings, n, avgdl = index_300
+    queries = spark.createDataFrame(
+        [(0, "insulin", "the"), (1, "dopamine serotonin", "zzz"),
+         (2, "the of", "of"), (3, "insulin", None)],
+        "query_id int, query string, exclude string")
+    got = _key(bm25.bm25_exclude(queries, postings, n, avgdl, k=10,
+                                 mode="chem").collect())
+
+    # ground truth from the naive relation: per query, score positive
+    # terms (minus negatives) over ALL docs, drop docs containing any
+    # negative term, then top-10
+    naive_all = bm25.bm25_naive(
+        spark.createDataFrame(
+            [(0, "insulin"), (1, "dopamine serotonin"), (2, "the"),
+             (3, "insulin")],
+            "query_id int, query string"),
+        dt, ds, n, avgdl, k=1 << 30, mode="chem").collect()
+    neg_docs = {}
+    for qid, terms in [(0, ["the"]), (1, ["zzz"]), (2, ["of"]), (3, [])]:
+        if terms:
+            hit = dt.filter(F.col("term").isin(terms)).select(
+                "doc_id").distinct().collect()
+            neg_docs[qid] = {r.doc_id for r in hit}
+        else:
+            neg_docs[qid] = set()
+    per_q = {}
+    for r in naive_all:
+        if r.doc_id not in neg_docs[r.query_id]:
+            per_q.setdefault(r.query_id, []).append(
+                (-round(r.score, 6), r.doc_id))
+    want = []
+    for qid, lst in per_q.items():
+        lst.sort()
+        for i, (negs, d) in enumerate(lst[:10], start=1):
+            want.append((qid, i, d, -negs))
+    assert got == sorted(want) and len(got) > 0
+    # the stop-word exclusion really filtered something
+    assert neg_docs[0] and all(
+        d not in neg_docs[0] for q, _, d, _ in got if q == 0)
+
+    runs = ib.build_posting_runs(dt, ds, avgdl, salt=5, n_docs=n)
+    sharded = _key(bm25.bm25_exclude_sharded(queries, runs, n, avgdl, k=10,
+                                             mode="chem").collect())
+    assert sharded == got
+
+    # conjunctive + NOT: AND over positives, then exclusion
+    conj = _key(bm25.bm25_exclude(queries, postings, n, avgdl, k=10,
+                                  mode="chem", conjunctive=True).collect())
+    conj_sharded = _key(bm25.bm25_exclude_sharded(
+        queries, runs, n, avgdl, k=10, mode="chem",
+        conjunctive=True).collect())
+    assert conj == conj_sharded
+    # AND results are a subset of OR results' doc sets per query
+    or_docs = {(q, d) for q, _, d, _ in got}
+    assert all((q, d) in or_docs for q, _, d, _ in conj)

@@ -396,3 +396,73 @@ def test_kwic_snippets(spark, webtext, positional):
     # semi-joined variant returns the same rows
     pruned = ph.kwic_snippets(webtext, phrase, width=3, hits=hits).collect()
     assert sorted(map(tuple, pruned)) == sorted(map(tuple, snips))
+
+
+def test_match_slop_property_pure():
+    """Hypothesis property (no Spark): the vectorized greedy-DP slop
+    matcher equals a per-start brute-force scan on random corpora,
+    phrases, and slops; slop=0 equals the adjacency matcher."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def decoded_for(docs, term):
+        ids, tfs, pos_all = [], [], []
+        for d in sorted(docs):
+            ps = [i for i, t in enumerate(docs[d]) if t == term]
+            if ps:
+                ids.append(d)
+                tfs.append(len(ps))
+                pos_all.extend(ps)
+        ids = np.asarray(ids, dtype=np.int64)
+        tfs = np.asarray(tfs, dtype=np.int64)
+        ends = np.cumsum(tfs)
+        starts = ends - tfs
+        return ids, tfs, starts, ends, np.asarray(pos_all, dtype=np.int64)
+
+    def brute(docs, terms, slop):
+        out = {}
+        for d, tk in docs.items():
+            n = 0
+            for p0, t in enumerate(tk):
+                if t != terms[0]:
+                    continue
+                last, ok = p0, True
+                for i, ti in enumerate(terms[1:], start=1):
+                    nxt = next(
+                        (p for p in range(last + 1,
+                                          min(p0 + i + slop,
+                                              len(tk) - 1) + 1)
+                         if tk[p] == ti), None)
+                    if nxt is None:
+                        ok = False
+                        break
+                    last = nxt
+                if ok:
+                    n += 1
+            if n:
+                out[d] = n
+        return out
+
+    tok = st.sampled_from(["a", "b", "c"])
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        docs=st.dictionaries(st.integers(0, 9),
+                             st.lists(tok, min_size=0, max_size=25),
+                             min_size=1, max_size=6),
+        terms=st.lists(tok, min_size=1, max_size=4),
+        slop=st.integers(0, 4),
+    )
+    def check(docs, terms, slop):
+        decoded = {i: decoded_for(docs, t) for i, t in enumerate(terms)}
+        out = ph._match_slop(5, len(terms), decoded, slop)
+        got = {int(r.doc_id): int(r.n_matches)
+               for _, r in out.iterrows()}
+        assert got == brute(docs, terms, slop)
+        if slop == 0:
+            adj = ph._match_adjacency(5, len(terms), decoded)
+            assert got == {int(r.doc_id): int(r.n_matches)
+                           for _, r in adj.iterrows()}
+
+    check()

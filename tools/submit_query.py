@@ -12,6 +12,8 @@ scoring runs per (query, doc-range bucket) with bounded task bytes.
 --conjunctive: AND semantics — only docs containing every query term;
 combined with --sharded it runs bm25_conjunctive_sharded over the runs
 index (bounded task bytes), alone it reads the merged-postings layout.
+--exclude "t1 t2": Boolean NOT — docs containing any listed term are
+dropped BEFORE the top-k cut; composes with --conjunctive / --sharded.
 --phrase: index dir must be a positional runs index (submit_build
 --positional-index); queries are exact-adjacency phrases; output rows
 are (query, doc_id, n_matches). Prints one JSON line per result row.
@@ -34,6 +36,11 @@ def main() -> None:
     ap.add_argument("--sharded", action="store_true")
     ap.add_argument("--conjunctive", action="store_true")
     ap.add_argument("--phrase", action="store_true")
+    ap.add_argument("--exclude", default=None,
+                    help="space-separated terms applied to every query: "
+                         "docs containing ANY of them are dropped before "
+                         "the top-k cut (Boolean NOT); composes with "
+                         "--conjunctive and --sharded")
     ap.add_argument("--slop", type=int, default=0,
                     help="with --phrase: ordered-proximity tolerance "
                          "(term i may sit up to slop positions beyond "
@@ -69,6 +76,33 @@ def main() -> None:
     ds = spark.read.parquet(f"{args.index}/doc_stats")
     n, avgdl = ib.corpus_stats(ds)
     terms = sorted(bm25._query_term_set(queries.collect(), args.mode))
+    if args.exclude:
+        neg_terms = bm25._query_term_set([{"query": args.exclude}],
+                                         args.mode)
+        terms = sorted(set(terms) | neg_terms)  # prune must fetch negs too
+        qex = spark.createDataFrame(
+            [(i, q, args.exclude) for i, q in enumerate(args.query)],
+            "query_id int, query string, exclude string")
+        if args.sharded:
+            pruned = bm25.read_runs_pruned(spark, args.index, terms,
+                                           num_shards=args.shards)
+            out = bm25.bm25_exclude_sharded(
+                qex, pruned, n, avgdl, k=args.k, mode=args.mode,
+                conjunctive=args.conjunctive)
+        else:
+            pruned = bm25.read_postings_pruned(spark, args.index, terms,
+                                               num_shards=args.shards)
+            out = bm25.bm25_exclude(
+                qex, pruned, n, avgdl, k=args.k, mode=args.mode,
+                conjunctive=args.conjunctive)
+        for r in out.orderBy("query_id", "rank").collect():
+            print(json.dumps({
+                "query_id": r["query_id"], "query": qtext[r["query_id"]],
+                "rank": r["rank"], "doc_id": r["doc_id"],
+                "score": r["score"],
+            }))
+        spark.stop()
+        return
     if args.conjunctive and args.sharded:
         # AND semantics over the runs-index layout: bounded task bytes
         pruned = bm25.read_runs_pruned(spark, args.index, terms,
