@@ -702,8 +702,15 @@ def read_runs_pruned(spark, index_path: str, query_terms: list[str],
     prune at planning time, term predicates push into row groups, the
     bucket column survives as data for per-(query, bucket) scoring."""
     from cer_for_mti_spark.functions.hashing import md5_60_py
+    from cer_for_mti_spark.operators.index_build import (
+        repair_interrupted_compaction,
+    )
 
     shards = sorted({md5_60_py(t) % num_shards for t in query_terms})
+    if base_df is None:
+        # a compaction crashed between its two renames leaves no runs/
+        # dir but a complete staged replacement — roll it forward
+        repair_interrupted_compaction(index_path, "runs")
     df = base_df if base_df is not None else (
         spark.read.option("basePath", f"{index_path}/runs").parquet(
             f"{index_path}/runs"

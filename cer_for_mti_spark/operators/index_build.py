@@ -755,7 +755,8 @@ def write_index(postings: DataFrame, doc_stats: DataFrame, path: str,
 
 
 def write_runs_index(runs: DataFrame, doc_stats: DataFrame, path: str,
-                     num_shards: int = 32) -> None:
+                     num_shards: int = 32,
+                     bake_avgdl: float | None = None) -> None:
     """Persist the RUN-level index (build_posting_runs output) partitioned
     by term shard — the storage layout for bm25_wand_sharded_from_index:
     shard dirs prune at planning time, term predicates push into row
@@ -763,7 +764,16 @@ def write_runs_index(runs: DataFrame, doc_stats: DataFrame, path: str,
     (query_id, bucket) with bounded task bytes. This is the layout to
     prefer at 10^12 docs: the merged-posting layout (write_index) stores a
     hot term's entire posting in one row, which caps the read parallelism
-    of that term at 1 task."""
+    of that term at 1 task.
+
+    Also persists `index_meta.json` recording the BAKE avgdl (the value
+    the runs' impacts/block maxes were encoded with — pass it when the
+    runs were baked with something other than this doc_stats' corpus
+    avgdl). Appends grow doc_stats, so recomputing avgdl from live
+    doc_stats later and decoding with it can push impacts PAST the baked
+    block-max/max-impact bounds and make block-max WAND skip true top-k
+    docs; every consumer must decode at the frozen bake value
+    (bake_stats reads it back)."""
     from cer_for_mti_spark.functions.hashing import md5_60
 
     sharded = runs.withColumn(
@@ -773,6 +783,108 @@ def write_runs_index(runs: DataFrame, doc_stats: DataFrame, path: str,
         f"{path}/runs"
     )
     doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
+    n, live_avgdl = corpus_stats(doc_stats)
+    write_index_meta(path, bake_avgdl=(
+        float(bake_avgdl) if bake_avgdl is not None else live_avgdl
+    ), n_docs_at_bake=n)
+
+
+def repair_interrupted_compaction(index_path: str,
+                                  rel: str = "runs") -> bool:
+    """The compactors swap directories with two renames — rename(final ->
+    .<rel>_old) then rename(.compact_staging/<rel> -> final) — so a crash
+    between them leaves the index with NO <rel> dir but a COMPLETE staged
+    replacement (staging is fully written and row-counted before the
+    first rename). Readers and the compactors call this first: it rolls
+    the swap FORWARD when final is missing and staging is complete,
+    rolls BACK to the preserved old dir if only trash survives, and
+    clears leftover trash/staging when final exists (crash after the
+    second rename). Returns True when final was restored.
+
+    Driver-local rename/rmtree — like the whole append/compact commit
+    protocol this is POSIX/HDFS-only; object-store index paths need the
+    manifest-commit variant (SCALE.md)."""
+    final = f"{index_path}/{rel}"
+    staging_root = f"{index_path}/.compact_staging"
+    staging = f"{staging_root}/{rel}"
+    trash = f"{index_path}/.{rel}_old"
+    if os.path.isdir(final):
+        # complete (or never-started) compaction: drop stale leftovers
+        shutil.rmtree(trash, ignore_errors=True)
+        return False
+    if os.path.isdir(staging):
+        os.rename(staging, final)
+        shutil.rmtree(trash, ignore_errors=True)
+        shutil.rmtree(staging_root, ignore_errors=True)
+        return True
+    if os.path.isdir(trash):
+        os.rename(trash, final)
+        shutil.rmtree(staging_root, ignore_errors=True)
+        return True
+    return False
+
+
+INDEX_META_FILE = "index_meta.json"
+
+
+def write_index_meta(path: str, bake_avgdl: float,
+                     n_docs_at_bake: int) -> None:
+    """Tiny JSON sidecar pinning the stats the index bytes were encoded
+    with. Written atomically (tmp + rename) so readers never see a torn
+    file."""
+    import json as _json
+
+    os.makedirs(path, exist_ok=True)
+    tmp = f"{path}/.{INDEX_META_FILE}.tmp"
+    with open(tmp, "w") as f:
+        _json.dump({"bake_avgdl": float(bake_avgdl),
+                    "n_docs_at_bake": int(n_docs_at_bake)}, f)
+    os.replace(tmp, f"{path}/{INDEX_META_FILE}")
+
+
+def read_index_meta(path: str) -> dict | None:
+    import json as _json
+
+    p = f"{path}/{INDEX_META_FILE}"
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return _json.load(f)
+
+
+def bake_stats(spark, index_path: str,
+               max_drift: float | None = None) -> tuple[int, float]:
+    """(live N, frozen bake avgdl) for querying/appending a written runs
+    index. N is the LIVE doc count (idf is recomputed at query time, so
+    a fresher N is strictly better and never violates the baked bounds —
+    idf scales a term's scores and its block maxes identically). avgdl
+    is the FROZEN bake value from index_meta.json: decoding at any other
+    value can exceed the baked block-max/max-impact upper bounds and
+    block-max WAND then skips true top-k docs. Legacy indexes without
+    the sidecar fall back to live corpus avgdl (correct only before the
+    first append at a drifted corpus shape).
+
+    max_drift: when set, raise if |live - bake| / bake exceeds it — the
+    frozen-avgdl approximation has degraded past policy and the index
+    needs a stats-refresh rebuild (compact_index's rebuild_threshold is
+    the merged-layout twin of this check)."""
+    ds = spark.read.parquet(f"{index_path}/doc_stats")
+    n, live_avgdl = corpus_stats(ds)
+    meta = read_index_meta(index_path)
+    if meta is None:
+        return n, live_avgdl
+    bake = float(meta["bake_avgdl"])
+    if max_drift is not None and bake > 0 and (
+        abs(live_avgdl - bake) / bake > max_drift
+    ):
+        raise ValueError(
+            f"bake_stats: live avgdl {live_avgdl:.3f} has drifted "
+            f"{abs(live_avgdl - bake) / bake:.1%} from the bake value "
+            f"{bake:.3f} at {index_path} (> {max_drift:.0%}); the frozen-"
+            "stats approximation has degraded — rebuild the index "
+            "(stats refresh) instead of appending further."
+        )
+    return n, bake
 
 
 # --- atomic, resumable appends ---------------------------------------------
@@ -914,9 +1026,34 @@ def append_runs_index(spark, index_path: str, new_docs: DataFrame,
     on resume since the staged bytes are already fixed). `fail_after`
     aborts after that many unit commits (crash-test hook). Returns the
     number of docs appended."""
+    # a compaction crashed mid-swap leaves no runs/ dir — roll forward
+    # BEFORE committing units, or the append would resurrect a bare one
+    repair_interrupted_compaction(index_path, "runs")
     inflight = _find_inflight_batch(index_path)
     if batch_id is None:
-        batch_id = inflight
+        if inflight is not None:
+            # A crashed batch is in flight and the caller did not name
+            # it. Finish it FIRST (its staged bytes are fixed; this
+            # call's new_docs plays no part in it), then decide: if
+            # new_docs is fully contained in the now-committed ids the
+            # caller just re-sent the crashed delta (the documented
+            # call-again-to-repair), so report the resumed count; any
+            # genuinely novel docs are staged as their own batch below.
+            # Previously a novel delta was silently DROPPED here while
+            # the resumed batch's count was reported as if it were its.
+            n_resumed = append_runs_index(
+                spark, index_path, new_docs, avgdl, mode=mode, salt=salt,
+                n_docs=n_docs, num_shards=num_shards,
+                on_conflict=on_conflict, batch_id=inflight,
+                fail_after=fail_after)
+            if _find_inflight_batch(index_path) is not None:
+                return 0  # the resume itself aborted (fail_after hook)
+            committed = spark.read.parquet(
+                f"{index_path}/doc_stats").select("doc_id")
+            novel = new_docs.select("doc_id").distinct().join(
+                committed, "doc_id", "left_anti").count()
+            if not novel:
+                return n_resumed
     elif inflight is not None and inflight != batch_id:
         raise ValueError(
             f"append_runs_index: batch {inflight!r} is staged but not fully "
@@ -1012,9 +1149,28 @@ def append_positional_runs_index(spark, index_path: str,
     from cer_for_mti_spark.functions.hashing import md5_60
     from cer_for_mti_spark.operators.phrase import build_positional_runs
 
+    repair_interrupted_compaction(index_path, "positional_runs")
     inflight = _find_inflight_batch(index_path)
     if batch_id is None:
-        batch_id = inflight
+        if inflight is not None:
+            # Same resume-then-ingest contract as append_runs_index:
+            # finish the crashed batch, then a fully-contained new_docs
+            # is a pure re-send (return the resumed count) while novel
+            # docs fall through to their own batch instead of being
+            # silently dropped.
+            n_resumed = append_positional_runs_index(
+                spark, index_path, new_docs, mode=mode, salt=salt,
+                n_docs=n_docs, num_shards=num_shards,
+                on_conflict=on_conflict, batch_id=inflight,
+                fail_after=fail_after)
+            if _find_inflight_batch(index_path) is not None:
+                return 0  # the resume itself aborted (fail_after hook)
+            committed = spark.read.parquet(
+                f"{index_path}/docs").select("doc_id")
+            novel = new_docs.select("doc_id").distinct().join(
+                committed, "doc_id", "left_anti").count()
+            if not novel:
+                return n_resumed
     elif inflight is not None and inflight != batch_id:
         raise ValueError(
             f"append_positional_runs_index: batch {inflight!r} is staged "
@@ -1094,6 +1250,7 @@ def compact_runs_index(spark, index_path: str, avgdl: float,
     existing docs' impacts. doc_stats and append lineage are untouched
     (layout, not membership). Same staged rewrite + rename swap as the
     positional compactor. Returns (runs_before, runs_after)."""
+    repair_interrupted_compaction(index_path, "runs")
     runs = spark.read.option("basePath", f"{index_path}/runs").parquet(
         f"{index_path}/runs"
     )

@@ -675,6 +675,12 @@ def phrase_search_sharded_from_index(spark, index_path: str,
     if not terms:
         return phrases.sparkSession.createDataFrame([], PHRASE_HIT_SCHEMA)
     shards = sorted({md5_60_py(t) % num_shards for t in terms})
+    if base_df is None:
+        from cer_for_mti_spark.operators.index_build import (
+            repair_interrupted_compaction,
+        )
+
+        repair_interrupted_compaction(index_path, "positional_runs")
     df = base_df if base_df is not None else (
         spark.read.option("basePath", f"{index_path}/positional_runs").parquet(
             f"{index_path}/positional_runs"
@@ -702,11 +708,16 @@ def compact_positional_runs(spark, index_path: str,
     untouched: compaction changes layout, not membership.
 
     The rewrite goes through a staging dir and two directory renames;
-    the short window between them is the same non-atomicity every
-    overwrite-in-place parquet rewrite has — run it offline, like the
-    merged index's compact_index. Returns (runs_before, runs_after)."""
+    a crash in the short window between them is detected and rolled
+    forward by repair_interrupted_compaction (called here and by every
+    reader) — run compaction offline, like the merged index's
+    compact_index. Returns (runs_before, runs_after)."""
     from cer_for_mti_spark.functions.hashing import md5_60
+    from cer_for_mti_spark.operators.index_build import (
+        repair_interrupted_compaction,
+    )
 
+    repair_interrupted_compaction(index_path, "positional_runs")
     runs = spark.read.option(
         "basePath", f"{index_path}/positional_runs"
     ).parquet(f"{index_path}/positional_runs")

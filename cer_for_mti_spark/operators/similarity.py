@@ -396,8 +396,10 @@ def _pq_adc_scan(codes_df: DataFrame, codebooks: np.ndarray,
                 else:
                     sub_codes, sub_ids = codes, ids
                 # scores[n] = sum_j luts[qi, j, codes[:, j]]
-                scores = np.round(
-                    luts[qi][np.arange(m)[None, :], sub_codes].sum(axis=1), 6
+                # HALF_UP like F.round / the DuckDB oracle — np.round is
+                # banker's and flips on half-ULP boundaries (e.g. 25/128)
+                scores = _round6_half_up(
+                    luts[qi][np.arange(m)[None, :], sub_codes].sum(axis=1)
                 )
                 if len(scores) > k:
                     kth = np.partition(scores, len(scores) - k)[len(scores) - k]
@@ -564,10 +566,30 @@ def write_ann_index(emb: DataFrame, path: str, n_centroids: int = 16,
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
 
 
+def _check_no_inflight_append(path: str, reader: str) -> None:
+    """Fail loudly when an ANN index has a partially-committed append
+    batch: between a cell's codes and vectors unit commits the two
+    layers disagree on membership, so a query would silently return
+    stale results from whichever layer is behind. The BM25 appends make
+    the torn window safe by committing doc_stats last; the ANN layers
+    have no such ordering invariant, so readers refuse instead."""
+    from cer_for_mti_spark.operators import index_build as ib_mod
+
+    inflight = ib_mod._find_inflight_batch(path)
+    if inflight is not None:
+        raise ValueError(
+            f"{reader}: append batch {inflight!r} at {path} is staged but "
+            "not fully committed — the codes and vectors layers may "
+            "disagree on membership. Resume it first (append_ann_index / "
+            "`submit_ann.py append` with no batch id completes it)."
+        )
+
+
 def read_ann_index(spark, path: str):
     """-> (codes DF with cell partition column, centroid rows, codebooks
     ndarray). Open the codes DF once and pass it to repeated
     ann_topk_from_index calls: pruning is planning-time."""
+    _check_no_inflight_append(path, "read_ann_index")
     codes = spark.read.option("basePath", f"{path}/codes").parquet(
         f"{path}/codes"
     )
@@ -592,6 +614,7 @@ def ivf_topk_from_index(spark, path: str, queries: DataFrame, k: int = 5,
     filter (partition pruning), true cosine inside the probed cells
     only, per-query own-cell restriction via the broadcast qcells join.
     Output matches ivf_topk given the same centroids."""
+    _check_no_inflight_append(path, "ivf_topk_from_index")
     vectors = spark.read.option("basePath", f"{path}/vectors").parquet(
         f"{path}/vectors"
     )
@@ -681,7 +704,29 @@ def append_ann_index(spark, path: str, new_emb: DataFrame,
 
     inflight = ib_mod._find_inflight_batch(path)
     if batch_id is None:
-        batch_id = inflight
+        if inflight is not None:
+            # A crashed batch is in flight and the caller did not name
+            # it. Finish it FIRST (its staged bytes are fixed; this
+            # call's new_emb plays no part in it); a new_emb fully
+            # contained in the now-committed ids is a pure re-send of
+            # the crashed delta (return the resumed count), while novel
+            # vectors fall through to their own batch. Previously a
+            # novel delta was silently dropped here while the resumed
+            # batch's count was reported as if it were its.
+            n_resumed = append_ann_index(
+                spark, path, new_emb, id_col=id_col, vec_col=vec_col,
+                on_conflict=on_conflict, batch_id=inflight,
+                fail_after=fail_after)
+            if ib_mod._find_inflight_batch(path) is not None:
+                return 0  # the resume itself aborted (fail_after hook)
+            committed = spark.read.option(
+                "basePath", f"{path}/codes"
+            ).parquet(f"{path}/codes").select("id")
+            novel = new_emb.select(
+                F.col(id_col).cast("long").alias("id")
+            ).distinct().join(committed, "id", "left_anti").count()
+            if not novel:
+                return n_resumed
     elif inflight is not None and inflight != batch_id:
         raise ValueError(
             f"append_ann_index: batch {inflight!r} is staged but not fully "
@@ -752,8 +797,19 @@ def append_ann_index(spark, path: str, new_emb: DataFrame,
         with open(f"{stage}/_STAGED") as f:
             n_delta = int(f.readline())
 
-    units = ib_mod._staged_shard_units(stage, "codes", path, prefix="cell=")
-    units += ib_mod._staged_shard_units(stage, "vectors", path,
-                                        prefix="cell=")
+    code_units = ib_mod._staged_shard_units(stage, "codes", path,
+                                            prefix="cell=")
+    vec_units = ib_mod._staged_shard_units(stage, "vectors", path,
+                                           prefix="cell=")
+    # Interleave per-cell (vectors, codes) pairs — exact layer first, so
+    # a crash can never leave a cell whose ADC candidates are missing
+    # from the re-rank layer — instead of committing ALL codes cells and
+    # only then the vectors layer (which left every appended cell torn
+    # for the whole vectors-commit window). Readers of both layers also
+    # fail loudly on an in-flight batch (_check_no_inflight_append).
+    by_cell: dict[str, list] = {}
+    for u in vec_units + code_units:
+        by_cell.setdefault(u[0].split("/", 1)[1], []).append(u)
+    units = [u for cell in sorted(by_cell) for u in by_cell[cell]]
     ib_mod._commit_append_units(spark, path, batch_id, units, fail_after)
     return int(n_delta)

@@ -70,13 +70,14 @@ def stream_append_runs_index(spark: SparkSession, input_dir: str,
     append layer makes the replay safe in every crash position — batch
     fully committed -> no-op (lineage says so); batch partially
     committed -> staged bytes resume to the identical index; batch never
-    staged -> a normal append. Impacts bake the index's avgdl read ONCE
-    at stream start (frozen Lucene-segment contract; periodic stats
-    refresh = rebuild, as everywhere)."""
+    staged -> a normal append. Impacts bake the index's FROZEN bake
+    avgdl (index_meta.json via bake_stats — NOT the live doc_stats
+    value, which moves with every appended batch and would bake each
+    micro-batch's block maxes at a different scale than queries decode
+    at; frozen Lucene-segment contract; periodic stats refresh =
+    rebuild, as everywhere)."""
     if avgdl is None:
-        _, avgdl = ib.corpus_stats(
-            spark.read.parquet(f"{index_path}/doc_stats")
-        )
+        _, avgdl = ib.bake_stats(spark, index_path)
     docs = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 4)

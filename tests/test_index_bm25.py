@@ -603,6 +603,145 @@ def test_append_runs_index_resumable(spark, tmp_path):
         d.startswith("append_") for d in _os.listdir(f"{idx_a}/.staging"))
 
 
+def test_append_runs_index_novel_delta_after_crash(spark, tmp_path):
+    """A novel delta submitted (batch_id=None) while an unrelated crashed
+    batch is in flight must NOT be silently dropped: the call finishes
+    the crashed batch AND ingests the new delta as its own batch,
+    landing on the same content as two clean sequential appends. A pure
+    re-send of the crashed delta still reports the resumed count."""
+    import shutil as _sh
+
+    from cer_for_mti_spark import datagen
+
+    full = datagen.generate_webtext(spark, 120, seed=29).cache()
+    old = full.filter(F.col("doc_id") < 70)
+    d1 = full.filter((F.col("doc_id") >= 70) & (F.col("doc_id") < 100))
+    d2 = full.filter(F.col("doc_id") >= 100)
+    dt_old = ib.build_doc_terms(old).cache()
+    ds_old = ib.build_doc_stats(dt_old)
+    _, avgdl = ib.corpus_stats(ds_old)
+    runs_old = ib.build_posting_runs(dt_old, ds_old, avgdl, salt=4,
+                                     n_docs=120)
+    idx_a = str(tmp_path / "crash_novel")
+    idx_b = str(tmp_path / "clean_seq")
+    ib.write_runs_index(runs_old, ds_old, idx_a, num_shards=4)
+    _sh.copytree(idx_a, idx_b)
+
+    # control: two clean sequential appends
+    ib.append_runs_index(spark, idx_b, d1, avgdl, salt=4, n_docs=120,
+                         num_shards=4)
+    ib.append_runs_index(spark, idx_b, d2, avgdl, salt=4, n_docs=120,
+                         num_shards=4)
+    # crash d1 mid-commit, then submit the UNRELATED d2 with no batch id
+    ib.append_runs_index(spark, idx_a, d1, avgdl, salt=4, n_docs=120,
+                         num_shards=4, fail_after=1)
+    n = ib.append_runs_index(spark, idx_a, d2, avgdl, salt=4, n_docs=120,
+                             num_shards=4)
+    assert n == 20  # the NEW delta's count, not the resumed batch's
+    assert _index_content(spark, idx_a) == _index_content(spark, idx_b)
+    assert ib._find_inflight_batch(idx_a) is None
+
+    # pure re-send after a crash still reports the resumed batch's count
+    idx_c = str(tmp_path / "crash_resend")
+    ib.write_runs_index(runs_old, ds_old, idx_c, num_shards=4)
+    ib.append_runs_index(spark, idx_c, d1, avgdl, salt=4, n_docs=120,
+                         num_shards=4, fail_after=1)
+    assert ib.append_runs_index(spark, idx_c, d1, avgdl, salt=4,
+                                n_docs=120, num_shards=4) == 30
+
+
+def test_repair_interrupted_compaction(spark, tmp_path):
+    """A compaction crash between its two directory renames leaves the
+    index with NO runs dir (old runs in .runs_old, complete replacement
+    in .compact_staging). Readers and appenders roll the swap forward;
+    a crash that lost staging rolls BACK to the preserved old dir;
+    queries after repair are identical to pre-crash."""
+    import os as _os
+    import shutil as _sh
+
+    from cer_for_mti_spark import datagen
+
+    docs = datagen.generate_webtext(spark, 80, seed=37).cache()
+    dt = ib.build_doc_terms(docs).cache()
+    ds = ib.build_doc_stats(dt)
+    n, avgdl = ib.corpus_stats(ds)
+    runs = ib.build_posting_runs(dt, ds, avgdl, salt=4, n_docs=n)
+    idx = str(tmp_path / "crashy")
+    ib.write_runs_index(runs, ds, idx, num_shards=4)
+    qs = spark.createDataFrame([(0, "the data")], "query_id int, query string")
+    want = _key(bm25.bm25_wand_sharded_from_index(
+        spark, idx, qs, n, avgdl, k=10, num_shards=4).collect())
+
+    # simulate the exact mid-swap state: final gone, staging complete,
+    # old runs in trash
+    _os.makedirs(f"{idx}/.compact_staging", exist_ok=True)
+    _sh.copytree(f"{idx}/runs", f"{idx}/.compact_staging/runs")
+    _os.rename(f"{idx}/runs", f"{idx}/.runs_old")
+    got = _key(bm25.bm25_wand_sharded_from_index(
+        spark, idx, qs, n, avgdl, k=10, num_shards=4).collect())
+    assert got == want  # reader rolled the swap forward
+    assert _os.path.isdir(f"{idx}/runs")
+    assert not _os.path.isdir(f"{idx}/.runs_old")
+    assert not _os.path.isdir(f"{idx}/.compact_staging")
+
+    # roll-back branch: staging lost, only the trash copy survives
+    _os.rename(f"{idx}/runs", f"{idx}/.runs_old")
+    assert ib.repair_interrupted_compaction(idx, "runs") is True
+    got2 = _key(bm25.bm25_wand_sharded_from_index(
+        spark, idx, qs, n, avgdl, k=10, num_shards=4).collect())
+    assert got2 == want
+    # healthy index: no-op, stale trash cleared
+    _sh.copytree(f"{idx}/runs", f"{idx}/.runs_old")
+    assert ib.repair_interrupted_compaction(idx, "runs") is False
+    assert not _os.path.isdir(f"{idx}/.runs_old")
+
+
+def test_bake_stats_frozen_avgdl(spark, tmp_path):
+    """write_runs_index persists the bake avgdl in index_meta.json and
+    bake_stats returns it FROZEN after appends move the live doc_stats
+    avgdl — decoding at a drifted live value can exceed the baked
+    block-max bounds and block-max WAND then skips true top-k docs. The
+    max_drift policy raise and the legacy (no-sidecar) fallback are also
+    covered."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from cer_for_mti_spark import datagen
+
+    full = datagen.generate_webtext(spark, 120, seed=31).cache()
+    old = full.filter(F.col("doc_id") < 80)
+    new = full.filter(F.col("doc_id") >= 80)
+    dt_old = ib.build_doc_terms(old).cache()
+    ds_old = ib.build_doc_stats(dt_old)
+    _, avgdl0 = ib.corpus_stats(ds_old)
+    runs_old = ib.build_posting_runs(dt_old, ds_old, avgdl0, salt=4,
+                                     n_docs=120)
+    idx = str(tmp_path / "meta_idx")
+    ib.write_runs_index(runs_old, ds_old, idx, num_shards=4)
+    assert _os.path.exists(f"{idx}/index_meta.json")
+    n, bake = ib.bake_stats(spark, idx)
+    assert n == 80 and bake == avgdl0
+
+    # append docs truncated to 1/4 length: live avgdl drifts DOWN, the
+    # bake value must not move, and N reflects the live corpus
+    short = new.withColumn(
+        "text", F.substring(F.col("text"), F.lit(1),
+                            (F.length("text") / 4).cast("int")))
+    ib.append_runs_index(spark, idx, short, bake, num_shards=4)
+    n2, bake2 = ib.bake_stats(spark, idx)
+    _, live2 = ib.corpus_stats(spark.read.parquet(f"{idx}/doc_stats"))
+    assert n2 == 120 and bake2 == avgdl0 and live2 != avgdl0
+    # drift policy: a tight threshold raises with the rebuild message
+    drift = abs(live2 - avgdl0) / avgdl0
+    with _pytest.raises(ValueError, match="drifted"):
+        ib.bake_stats(spark, idx, max_drift=drift / 2)
+    # legacy index without the sidecar falls back to live avgdl
+    _os.remove(f"{idx}/index_meta.json")
+    _, legacy = ib.bake_stats(spark, idx)
+    assert legacy == live2
+
+
 def test_append_positional_runs_index_resumable(spark, tmp_path):
     """Positional twin of the crash test: abort after 2 unit commits,
     resume, and require the appended index's phrase results AND raw run

@@ -306,6 +306,27 @@ def test_round6_half_up_matches_spark(spark):
     assert float(np.round(25 / 128, 6)) != want[0]
 
 
+def test_pq_adc_scan_half_up_boundary(spark):
+    """The ADC scan's score rounding must be HALF_UP like F.round and the
+    DuckDB oracle — np.round (banker's) flips scores landing exactly on a
+    half-ULP decimal boundary. Constructed case: unit query [1,0], single
+    subspace whose codeword 0 is [25/128, 0], so the unrounded ADC score
+    is exactly 0.1953125 -> 0.195313 under HALF_UP, 0.195312 under
+    banker's (the pre-fix behavior)."""
+    import numpy as np
+
+    books = np.zeros((1, 2, 2), dtype=np.float64)
+    books[0, 0] = [25 / 128, 0.0]
+    books[0, 1] = [0.0, 1.0]
+    codes_df = spark.createDataFrame(
+        [(1, bytes([0]))], "id long, codes binary")
+    q_rows = [{"qid": 7, "q": [1.0, 0.0]}]
+    got = similarity._pq_adc_scan(codes_df, books, q_rows, k=1).collect()
+    assert len(got) == 1
+    assert got[0].adc_score == 0.195313, got[0].adc_score
+    assert float(np.round(25 / 128, 6)) == 0.195312  # banker's diverges
+
+
 def test_append_ann_index(spark, tmp_path):
     """Frozen-quantizer ANN appends: appended codes equal a full
     re-encode with the SAME stored artifacts (content identity),
@@ -364,8 +385,42 @@ def test_append_ann_index(spark, tmp_path):
     similarity.append_ann_index(spark, idx2, delta, fail_after=1)
     lin = spark.read.parquet(f"{idx2}/append_lineage")
     assert lin.count() == 1
+    # torn state is DETECTED, not silently served: both layer readers
+    # refuse while the batch is in flight (codes/vectors may disagree)
+    with pytest.raises(ValueError, match="not fully committed"):
+        similarity.read_ann_index(spark, idx2)
+    with pytest.raises(ValueError, match="not fully committed"):
+        similarity.ivf_topk_from_index(spark, idx2, qs, k=1)
     similarity.append_ann_index(spark, idx2, delta)  # auto-resume
     codes2, _, _ = similarity.read_ann_index(spark, idx2)
     got2 = {r["id"]: (r["cell"], bytes(r["codes"]))
             for r in codes2.collect()}
     assert got2 == got
+
+
+def test_append_ann_index_novel_delta_after_crash(spark, tmp_path):
+    """A novel delta submitted (batch_id=None) while an unrelated
+    crashed ANN batch is in flight finishes the crashed batch AND
+    ingests the new vectors as their own batch — previously the novel
+    delta was silently dropped. Commit units interleave (vectors,
+    codes) per cell, exact layer first."""
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").cache()
+    base = emb.filter(F.col("vec_id") < 300)
+    d1 = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 350))
+    d2 = emb.filter((F.col("vec_id") >= 350) & (F.col("vec_id") < 400))
+    idx = str(tmp_path / "ann_novel")
+    similarity.write_ann_index(base, idx, n_centroids=8, m=8, ks=16,
+                               store_vectors=True)
+    similarity.append_ann_index(spark, idx, d1, fail_after=1)
+    n = similarity.append_ann_index(spark, idx, d2)
+    assert n == 50  # the NEW delta's count, not the resumed batch's
+    codes_df, _, _ = similarity.read_ann_index(spark, idx)
+    assert codes_df.count() == 400
+    assert spark.read.option("basePath", f"{idx}/vectors").parquet(
+        f"{idx}/vectors").count() == 400
+    # per-cell interleaving: the first committed unit was a vectors cell
+    lin = spark.read.parquet(f"{idx}/append_lineage").orderBy(
+        "committed_at").collect()
+    first_units = [r.unit for r in lin if r.batch_id == "b0000"]
+    assert first_units[0].startswith("vectors/")

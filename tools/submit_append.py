@@ -48,8 +48,10 @@ def main() -> None:
             num_shards=args.shards, on_conflict=args.on_conflict)
         stats = {}
     else:
-        ds = spark.read.parquet(f"{args.index}/doc_stats")
-        _, avgdl = ib.corpus_stats(ds)
+        # decode/bake at the index's FROZEN bake avgdl (index_meta.json)
+        # — the live doc_stats avgdl moves with every append, and baking
+        # each batch at a different value breaks the block-max bounds
+        _, avgdl = ib.bake_stats(spark, args.index, max_drift=0.5)
         n = ib.append_runs_index(
             spark, args.index, docs, avgdl, mode=args.mode,
             num_shards=args.shards, on_conflict=args.on_conflict)

@@ -51,8 +51,10 @@ def main() -> None:
     spark = SparkSession.builder.appName("cer_compact").getOrCreate()
     t0 = time.time()
     if args.cmd == "runs":
-        ds = spark.read.parquet(f"{args.index}/doc_stats")
-        _, avgdl = ib.corpus_stats(ds)
+        # the FROZEN bake avgdl (index_meta.json), not live doc_stats —
+        # re-encoding interleaved runs at a drifted live value would
+        # silently change existing docs' impacts
+        _, avgdl = ib.bake_stats(spark, args.index)
         before, after = ib.compact_runs_index(spark, args.index, avgdl,
                                               num_shards=args.shards)
         out = {"index": args.index, "runs_before": before,

@@ -73,8 +73,11 @@ def main() -> None:
         spark.stop()
         return
 
-    ds = spark.read.parquet(f"{args.index}/doc_stats")
-    n, avgdl = ib.corpus_stats(ds)
+    # live N (idf freshness) + FROZEN bake avgdl (index_meta.json): the
+    # runs' impacts/block maxes were encoded at the bake value, and
+    # decoding at a drifted live avgdl can exceed those bounds and make
+    # block-max WAND skip true top-k docs
+    n, avgdl = ib.bake_stats(spark, args.index)
     terms = sorted(bm25._query_term_set(queries.collect(), args.mode))
     if args.exclude:
         neg_terms = bm25._query_term_set([{"query": args.exclude}],
