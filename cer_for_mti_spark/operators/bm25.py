@@ -87,10 +87,25 @@ def bm25_naive(queries: DataFrame, doc_terms: DataFrame, doc_stats: DataFrame,
     )
 
 
-def _decode_cursor(row, n_docs: int, avgdl: float):
+from cer_for_mti_spark.operators.index_build import (  # noqa: E402
+    isin_sorted as _isin_sorted,
+)
+
+
+def _decode_cursor(row, n_docs: int, avgdl: float,
+                   tomb: np.ndarray | None = None):
     ids = delta_decode(row["doc_ids"])
     tfs = varint_decode(row["tfs"])
     dls = varint_decode(row["doclens"])
+    if tomb is not None and len(ids):
+        # tombstone mask at decode — BEFORE impacts/top-k, so deleted
+        # docs can never eat top-k slots. Lazy-delete semantics: df (and
+        # the baked block maxes) keep counting the deleted docs until
+        # compaction physically purges them; the block arrays therefore
+        # stay valid UPPER bounds over the surviving subset.
+        keep = ~_isin_sorted(ids, tomb)
+        if not keep.all():
+            ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
     df = float(row["df"])
     idf = float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
     imps = idf * _impact(tfs, dls, avgdl)
@@ -99,7 +114,8 @@ def _decode_cursor(row, n_docs: int, avgdl: float):
     return ids, imps, block_last, block_ub, idf * float(row["max_impact"])
 
 
-def _taat_one_query(rows: list, n_docs: int, avgdl: float, k: int):
+def _taat_one_query(rows: list, n_docs: int, avgdl: float, k: int,
+                    tomb: np.ndarray | None = None):
     """Vectorized term-at-a-time exhaustive scorer: concatenate all
     postings, segment-sum per doc with numpy. At moderate posting mass
     this beats a per-doc Python DAAT loop by orders of magnitude; the
@@ -109,7 +125,7 @@ def _taat_one_query(rows: list, n_docs: int, avgdl: float, k: int):
     doc-sorted concat."""
     decoded = []
     for row in rows:
-        ids, imps, _, _, _ = _decode_cursor(row, n_docs, avgdl)
+        ids, imps, _, _, _ = _decode_cursor(row, n_docs, avgdl, tomb)
         if len(ids):
             decoded.append((ids, imps))
     if not decoded:
@@ -132,12 +148,14 @@ def _taat_one_query(rows: list, n_docs: int, avgdl: float, k: int):
     return [(float(scores_r[i]), int(docs[i])) for i in final]
 
 
-def _wand_one_query(rows: list, n_docs: int, avgdl: float, k: int):
+def _wand_one_query(rows: list, n_docs: int, avgdl: float, k: int,
+                    tomb: np.ndarray | None = None):
     """Classic block-max WAND (Broder et al. 2003; Ding & Suel 2011
     block-max refinement) over the decoded cursors of one query."""
     cursors = []
     for row in rows:
-        ids, imps, block_last, block_ub, ub = _decode_cursor(row, n_docs, avgdl)
+        ids, imps, block_last, block_ub, ub = _decode_cursor(
+            row, n_docs, avgdl, tomb)
         if len(ids):
             cursors.append({"ids": ids, "imps": imps, "bl": block_last,
                             "bub": block_ub, "ub": ub, "pos": 0})
@@ -223,9 +241,20 @@ def _wand_one_query(rows: list, n_docs: int, avgdl: float, k: int):
 TAAT_MASS_THRESHOLD = 2_000_000
 
 
+def _tomb_broadcast(df_like: DataFrame, tombstones):
+    """sc.broadcast the sorted tombstone array once per query batch (or
+    pass None through) — the scorers' tasks then share one copy per
+    executor instead of re-pickling it into every closure."""
+    if tombstones is None or not len(tombstones):
+        return None
+    arr = np.asarray(tombstones, dtype=np.int64)
+    arr = np.unique(arr)  # sorted + deduped, _isin_sorted's contract
+    return df_like.sparkSession.sparkContext.broadcast(arr)
+
+
 def bm25_wand(queries: DataFrame, postings: DataFrame, n_docs: int,
               avgdl: float, k: int = 10, mode: str = "simple",
-              scorer: str = "auto") -> DataFrame:
+              scorer: str = "auto", tombstones=None) -> DataFrame:
     """Top-k over compressed postings: broadcast-prune postings to the
     query terms, co-locate each query's posting lists with applyInPandas,
     score per query. Output rank-identical to bm25_naive.
@@ -237,17 +266,19 @@ def bm25_wand(queries: DataFrame, postings: DataFrame, n_docs: int,
     (tests assert both are rank-identical)."""
     qt = query_terms(queries, mode)
     fetched = postings.join(F.broadcast(qt), "term")
+    tomb_bc = _tomb_broadcast(queries, tombstones)
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
+        tomb = tomb_bc.value if tomb_bc is not None else None
         rows = [pdf.iloc[i] for i in range(len(pdf))]
         rows.sort(key=lambda r: r["term"])  # deterministic accumulation
         if scorer == "taat" or (
             scorer == "auto" and pdf["df"].sum() <= TAAT_MASS_THRESHOLD
         ):
-            ranked = _taat_one_query(rows, n_docs, avgdl, k)
+            ranked = _taat_one_query(rows, n_docs, avgdl, k, tomb)
         else:
-            ranked = _wand_one_query(rows, n_docs, avgdl, k)
+            ranked = _wand_one_query(rows, n_docs, avgdl, k, tomb)
         return pd.DataFrame(
             {
                 "query_id": qid,
@@ -262,7 +293,7 @@ def bm25_wand(queries: DataFrame, postings: DataFrame, n_docs: int,
 
 def bm25_wand_sharded(queries: DataFrame, runs: DataFrame, n_docs: int,
                       avgdl: float, k: int = 10, mode: str = "simple",
-                      scorer: str = "auto") -> DataFrame:
+                      scorer: str = "auto", tombstones=None) -> DataFrame:
     """Doc-range-sharded top-k: score per (query_id, bucket) with a
     per-bucket top-k, then a tiny global merge — rank-identical to
     bm25_wand over the merged postings.
@@ -295,17 +326,19 @@ def bm25_wand_sharded(queries: DataFrame, runs: DataFrame, n_docs: int,
         .drop("df")
         .withColumnRenamed("_gdf", "df")  # _decode_cursor reads row["df"]
     )
+    tomb_bc = _tomb_broadcast(queries, tombstones)
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
+        tomb = tomb_bc.value if tomb_bc is not None else None
         rows = [pdf.iloc[i] for i in range(len(pdf))]
         rows.sort(key=lambda r: r["term"])  # deterministic accumulation
         if scorer == "taat" or (
             scorer == "auto" and pdf["df"].sum() <= TAAT_MASS_THRESHOLD
         ):
-            ranked = _taat_one_query(rows, n_docs, avgdl, k)
+            ranked = _taat_one_query(rows, n_docs, avgdl, k, tomb)
         else:
-            ranked = _wand_one_query(rows, n_docs, avgdl, k)
+            ranked = _wand_one_query(rows, n_docs, avgdl, k, tomb)
         return pd.DataFrame(
             {
                 "query_id": qid,
@@ -327,7 +360,7 @@ def bm25_wand_sharded(queries: DataFrame, runs: DataFrame, n_docs: int,
 
 def bm25_conjunctive(queries: DataFrame, postings: DataFrame, n_docs: int,
                      avgdl: float, k: int = 10,
-                     mode: str = "simple") -> DataFrame:
+                     mode: str = "simple", tombstones=None) -> DataFrame:
     """AND-semantics top-k: only documents containing EVERY query term
     are scored (the classic conjunctive retrieval mode; the reference's
     whole-document term-set matching is conjunctive at n=1). Engine
@@ -348,9 +381,11 @@ def bm25_conjunctive(queries: DataFrame, postings: DataFrame, n_docs: int,
             F.count(F.lit(1)).alias("n")).collect()
     }
     fetched = postings.join(F.broadcast(qt), "term")
+    tomb_bc = _tomb_broadcast(queries, tombstones)
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
+        tomb = tomb_bc.value if tomb_bc is not None else None
         empty = pd.DataFrame({
             "query_id": pd.Series([], dtype="int64"),
             "doc_id": pd.Series([], dtype="int64"),
@@ -363,7 +398,7 @@ def bm25_conjunctive(queries: DataFrame, postings: DataFrame, n_docs: int,
         rows.sort(key=lambda r: r["term"])  # deterministic accumulation
         decoded = []
         for row in rows:
-            ids, imps, _, _, _ = _decode_cursor(row, n_docs, avgdl)
+            ids, imps, _, _, _ = _decode_cursor(row, n_docs, avgdl, tomb)
             decoded.append((ids, imps))
         common = decoded[0][0]
         for ids, _ in decoded[1:]:
@@ -391,7 +426,8 @@ def bm25_conjunctive(queries: DataFrame, postings: DataFrame, n_docs: int,
 
 def bm25_conjunctive_sharded(queries: DataFrame, runs: DataFrame,
                              n_docs: int, avgdl: float, k: int = 10,
-                             mode: str = "simple") -> DataFrame:
+                             mode: str = "simple",
+                             tombstones=None) -> DataFrame:
     """Doc-range-sharded conjunctive top-k — bm25_conjunctive with
     bounded per-task bytes, rank-identical to it.
 
@@ -425,8 +461,11 @@ def bm25_conjunctive_sharded(queries: DataFrame, runs: DataFrame,
         .withColumnRenamed("_gdf", "df")  # _decode_cursor reads row["df"]
     )
 
+    tomb_bc = _tomb_broadcast(queries, tombstones)
+
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
+        tomb = tomb_bc.value if tomb_bc is not None else None
         empty = pd.DataFrame({
             "query_id": pd.Series([], dtype="int64"),
             "doc_id": pd.Series([], dtype="int64"),
@@ -444,7 +483,7 @@ def bm25_conjunctive_sharded(queries: DataFrame, runs: DataFrame,
         for term in sorted(by_term):  # deterministic accumulation
             ids_l, imps_l = [], []
             for row in by_term[term]:
-                ids, imps, _, _, _ = _decode_cursor(row, n_docs, avgdl)
+                ids, imps, _, _, _ = _decode_cursor(row, n_docs, avgdl, tomb)
                 ids_l.append(ids)
                 imps_l.append(imps)
             ids = np.concatenate(ids_l)
@@ -509,7 +548,8 @@ def _exclusion_want(queries: DataFrame, mode: str,
 
 def _score_with_exclusion(pdf: pd.DataFrame, qid: int, k: int | None,
                           n_docs: int, avgdl: float, need_pos: int,
-                          conjunctive: bool, merge_runs: bool
+                          conjunctive: bool, merge_runs: bool,
+                          tomb: np.ndarray | None = None
                           ) -> tuple[np.ndarray, np.ndarray]:
     """Shared NOT-semantics core: decode the group's cursors, candidates
     = union (OR) or intersection (AND) of the POSITIVE doc lists MINUS
@@ -528,7 +568,7 @@ def _score_with_exclusion(pdf: pd.DataFrame, qid: int, k: int | None,
         if merge_runs:
             ids_l, imps_l = [], []
             for row in rows:
-                ids, imps, _, _, _ = _decode_cursor(row, n_docs, avgdl)
+                ids, imps, _, _, _ = _decode_cursor(row, n_docs, avgdl, tomb)
                 ids_l.append(ids)
                 imps_l.append(imps)
             ids = np.concatenate(ids_l)
@@ -536,7 +576,7 @@ def _score_with_exclusion(pdf: pd.DataFrame, qid: int, k: int | None,
             order = np.argsort(ids, kind="stable")
             ids, imps = ids[order], imps[order]
         else:
-            ids, imps, _, _, _ = _decode_cursor(rows[0], n_docs, avgdl)
+            ids, imps, _, _, _ = _decode_cursor(rows[0], n_docs, avgdl, tomb)
         if term in neg_terms:
             neg_ids.append(ids)
         else:
@@ -572,7 +612,7 @@ def _score_with_exclusion(pdf: pd.DataFrame, qid: int, k: int | None,
 def bm25_exclude(queries: DataFrame, postings: DataFrame, n_docs: int,
                  avgdl: float, k: int = 10, mode: str = "simple",
                  conjunctive: bool = False,
-                 exclude_col: str = "exclude") -> DataFrame:
+                 exclude_col: str = "exclude", tombstones=None) -> DataFrame:
     """Boolean retrieval with NOT: queries carry an `exclude` column
     (space-separated terms, analyzed like the query); documents
     containing ANY excluded term are dropped BEFORE the top-k cut, so
@@ -587,12 +627,14 @@ def bm25_exclude(queries: DataFrame, postings: DataFrame, n_docs: int,
     twin (exclusion is per-doc, so bucket-local subtraction is exact)."""
     want, need = _exclusion_want(queries, mode, exclude_col)
     fetched = postings.join(F.broadcast(want), "term")
+    tomb_bc = _tomb_broadcast(queries, tombstones)
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
         cands, scores_r = _score_with_exclusion(
             pdf, qid, k, n_docs, avgdl, need.get(qid, 0), conjunctive,
             merge_runs=False,
+            tomb=tomb_bc.value if tomb_bc is not None else None,
         )
         final = np.lexsort((cands, -scores_r))[:k]
         return pd.DataFrame({
@@ -608,7 +650,8 @@ def bm25_exclude(queries: DataFrame, postings: DataFrame, n_docs: int,
 def bm25_exclude_sharded(queries: DataFrame, runs: DataFrame, n_docs: int,
                          avgdl: float, k: int = 10, mode: str = "simple",
                          conjunctive: bool = False,
-                         exclude_col: str = "exclude") -> DataFrame:
+                         exclude_col: str = "exclude",
+                         tombstones=None) -> DataFrame:
     """Doc-range-sharded Boolean NOT — bm25_exclude with bounded
     per-task bytes, rank-identical to it. Exclusion is per-doc and every
     posting of doc d lives in d's bucket, so subtracting the bucket's
@@ -629,11 +672,14 @@ def bm25_exclude_sharded(queries: DataFrame, runs: DataFrame, n_docs: int,
         .withColumnRenamed("_gdf", "df")
     )
 
+    tomb_bc = _tomb_broadcast(queries, tombstones)
+
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
         cands, scores_r = _score_with_exclusion(
             pdf, qid, k, n_docs, avgdl, need.get(qid, 0), conjunctive,
             merge_runs=True,
+            tomb=tomb_bc.value if tomb_bc is not None else None,
         )
         return pd.DataFrame({
             "query_id": np.full(len(cands), qid, dtype=np.int64),
@@ -675,7 +721,8 @@ def bm25_wand_sharded_from_index(spark, index_path: str, queries: DataFrame,
                                  n_docs: int, avgdl: float, k: int = 10,
                                  mode: str = "simple", num_shards: int = 32,
                                  scorer: str = "auto",
-                                 base_df: DataFrame | None = None) -> DataFrame:
+                                 base_df: DataFrame | None = None,
+                                 tombstones="auto") -> DataFrame:
     """End-to-end sharded query path over a WRITTEN runs index
     (index_build.write_runs_index): literal shard filters prune whole
     partition directories (PartitionFilters), term filters push into the
@@ -690,8 +737,14 @@ def bm25_wand_sharded_from_index(spark, index_path: str, queries: DataFrame,
         return spark.createDataFrame([], TOPK_SCHEMA)
     pruned = read_runs_pruned(spark, index_path, sorted(terms),
                               num_shards=num_shards, base_df=base_df)
+    if isinstance(tombstones, str) and tombstones == "auto":
+        # honour the index's delete sidecar by default — deleted docs
+        # must never surface in top-k (delete_docs' contract)
+        from cer_for_mti_spark.operators.index_build import load_tombstones
+
+        tombstones = load_tombstones(spark, index_path)
     return bm25_wand_sharded(queries, pruned, n_docs, avgdl, k=k, mode=mode,
-                             scorer=scorer)
+                             scorer=scorer, tombstones=tombstones)
 
 
 def read_runs_pruned(spark, index_path: str, query_terms: list[str],
@@ -711,10 +764,10 @@ def read_runs_pruned(spark, index_path: str, query_terms: list[str],
         # a compaction crashed between its two renames leaves no runs/
         # dir but a complete staged replacement — roll it forward
         repair_interrupted_compaction(index_path, "runs")
-    df = base_df if base_df is not None else (
-        spark.read.option("basePath", f"{index_path}/runs").parquet(
-            f"{index_path}/runs"
-        )
+    from cer_for_mti_spark.operators.index_build import read_index_rel
+
+    df = base_df if base_df is not None else read_index_rel(
+        spark, index_path, "runs", with_base_path=True
     )
     return df.filter(
         F.col("shard").isin(shards) & F.col("term").isin(list(query_terms))
@@ -754,7 +807,8 @@ def bm25_wand_from_index(spark, index_path: str, queries: DataFrame,
                          n_docs: int, avgdl: float, k: int = 10,
                          mode: str = "simple", num_shards: int = 32,
                          scorer: str = "auto",
-                         base_df: DataFrame | None = None) -> DataFrame:
+                         base_df: DataFrame | None = None,
+                         tombstones="auto") -> DataFrame:
     """End-to-end query path over a written index: analyze the query batch
     driver-side (tiny), prune the postings scan by shard + term, then
     score. Rank-identical to bm25_wand over the full postings relation."""
@@ -764,8 +818,12 @@ def bm25_wand_from_index(spark, index_path: str, queries: DataFrame,
         return spark.createDataFrame([], TOPK_SCHEMA)
     pruned = read_postings_pruned(spark, index_path, sorted(terms),
                                   num_shards, base_df=base_df)
+    if isinstance(tombstones, str) and tombstones == "auto":
+        from cer_for_mti_spark.operators.index_build import load_tombstones
+
+        tombstones = load_tombstones(spark, index_path)
     return bm25_wand(queries, pruned, n_docs, avgdl, k=k, mode=mode,
-                     scorer=scorer)
+                     scorer=scorer, tombstones=tombstones)
 
 
 def bm25_from_postings_naive(queries: DataFrame, postings: DataFrame,

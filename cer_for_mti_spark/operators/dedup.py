@@ -350,6 +350,20 @@ def dup_components(pairs: DataFrame, a_col: str = "doc_a",
     )
 
 
+def dup_losers(pairs: DataFrame, id_col: str = "doc_id",
+               a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:
+    """The NON-canonical member set of every near-dup group (everything
+    keep_canonical drops): connected components, then every node whose
+    component label is not itself. This is the dedup-purge producer for
+    index_build.delete_docs — feed it to tombstone near-duplicates out
+    of a live index without a rebuild (purged physically at the next
+    compaction)."""
+    comp = dup_components(pairs, a_col=a_col, b_col=b_col)
+    return comp.filter(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias(id_col)
+    )
+
+
 def keep_canonical(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                    a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:
     """Keep ONE document per near-dup group — the step after
@@ -363,11 +377,8 @@ def keep_canonical(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     against the docs relation. The corpus is scanned once; the only
     corpus-sized shuffle is the anti-join's, and when the loser set is
     small Catalyst broadcasts it (no shuffle at all)."""
-    comp = dup_components(pairs, a_col=a_col, b_col=b_col)
-    losers = comp.filter(F.col("doc_id") != F.col("component")).select(
-        F.col("doc_id").alias(id_col)
-    )
-    return docs.join(losers, id_col, "left_anti")
+    return docs.join(dup_losers(pairs, id_col, a_col, b_col),
+                     id_col, "left_anti")
 
 
 def embedding_near_dup(emb: DataFrame, id_col: str = "vec_id",

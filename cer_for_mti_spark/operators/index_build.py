@@ -297,6 +297,18 @@ def _make_encode_run_udf(avgdl: float):
     return encode_run
 
 
+def isin_sorted(ids: np.ndarray, tomb: np.ndarray) -> np.ndarray:
+    """Membership of ids in the SORTED int64 array tomb via searchsorted
+    (no per-call re-sort). int64 throughout — mixed-dtype searchsorted
+    upcasts to float64 and loses exactness past 2^53."""
+    if not len(tomb) or not len(ids):
+        return np.zeros(len(ids), dtype=bool)
+    ids64 = ids.astype(np.int64, copy=False)
+    idx = np.searchsorted(tomb, ids64)
+    idx[idx == len(tomb)] = len(tomb) - 1
+    return tomb[idx] == ids64
+
+
 def _varint_prefix_len(buf: bytes) -> int:
     i = 0
     while buf[i] & 0x80:
@@ -304,18 +316,25 @@ def _varint_prefix_len(buf: bytes) -> int:
     return i + 1
 
 
-def merge_encoded_runs(runs: list[dict], avgdl: float | None = None) -> tuple:
+def merge_encoded_runs(runs: list[dict], avgdl: float | None = None,
+                       tomb: np.ndarray | None = None) -> tuple:
     """Merge compressed runs of one term. Fast path (disjoint, ordered
     doc-id ranges — the normal case): byte-concat with a single varint
     patch per boundary (run k's first gap becomes
     first_id_k - last_id_{k-1}); never materializes the decoded posting.
     Overlapping runs (possible when input partitions are not doc-id
-    ranges) fall back to decode + merge + re-encode, which needs avgdl."""
+    ranges) fall back to decode + merge + re-encode, which needs avgdl.
+
+    tomb (sorted int64 tombstoned doc ids) forces the decode path and
+    PURGES those docs from the merged posting — df, block maxes and
+    max_impact are genuinely recomputed without them (the physical half
+    of delete_docs). A fully-tombstoned posting returns df == 0; callers
+    drop those rows."""
     runs = sorted(runs, key=lambda r: (r["first_id"], r["last_id"]))
     overlap = any(
         r["first_id"] <= prev["last_id"] for prev, r in zip(runs, runs[1:])
     )
-    if overlap:
+    if overlap or (tomb is not None and len(tomb)):
         if avgdl is None:
             raise ValueError("overlapping runs need avgdl to re-encode")
         ids = np.concatenate([delta_decode(bytes(r["doc_ids"])) for r in runs])
@@ -323,6 +342,11 @@ def merge_encoded_runs(runs: list[dict], avgdl: float | None = None) -> tuple:
         dls = np.concatenate([varint_decode(bytes(r["doclens"])) for r in runs])
         order = np.argsort(ids, kind="stable")
         ids, tfs, dls = ids[order], tfs[order], dls[order]
+        if tomb is not None and len(tomb):
+            keep = ~isin_sorted(ids, tomb)
+            ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+        if not len(ids):
+            return 0, b"", b"", b"", [], [], 0.0
         d, t, dl, bl, bm, mi = _encode_arrays(ids, tfs, dls, avgdl)
         return len(ids), d, t, dl, bl, bm, mi
     ids_parts = [bytes(runs[0]["doc_ids"])]
@@ -347,12 +371,14 @@ def merge_encoded_runs(runs: list[dict], avgdl: float | None = None) -> tuple:
     )
 
 
-def _make_merge_runs_udf(avgdl: float):
+def _make_merge_runs_udf(avgdl: float, tomb_bc=None):
     @F.pandas_udf(MERGED_SCHEMA)
     def merge_runs(runs_s: pd.Series) -> pd.DataFrame:
+        tomb = tomb_bc.value if tomb_bc is not None else None
         out = {k.name: [] for k in MERGED_SCHEMA.fields}
         for runs in runs_s:
-            df, d, t, dl, bl, bm, mi = merge_encoded_runs(list(runs), avgdl)
+            df, d, t, dl, bl, bm, mi = merge_encoded_runs(list(runs), avgdl,
+                                                          tomb)
             out["df"].append(df)
             out["doc_ids"].append(d)
             out["tfs"].append(t)
@@ -756,7 +782,8 @@ def write_index(postings: DataFrame, doc_stats: DataFrame, path: str,
 
 def write_runs_index(runs: DataFrame, doc_stats: DataFrame, path: str,
                      num_shards: int = 32,
-                     bake_avgdl: float | None = None) -> None:
+                     bake_avgdl: float | None = None,
+                     commit_mode: str = "rename") -> None:
     """Persist the RUN-level index (build_posting_runs output) partitioned
     by term shard — the storage layout for bm25_wand_sharded_from_index:
     shard dirs prune at planning time, term predicates push into row
@@ -787,6 +814,14 @@ def write_runs_index(runs: DataFrame, doc_stats: DataFrame, path: str,
     write_index_meta(path, bake_avgdl=(
         float(bake_avgdl) if bake_avgdl is not None else live_avgdl
     ), n_docs_at_bake=n)
+    if commit_mode == "manifest":
+        # object-store ingest mode: readers list files from committed
+        # manifests, appends copy + manifest instead of renaming
+        _manifest_write(path, "base-runs", _list_data_files(path, "runs"))
+        _manifest_write(path, "base-doc_stats",
+                        _list_data_files(path, "doc_stats"))
+    elif commit_mode != "rename":
+        raise ValueError(f"unknown commit_mode {commit_mode!r}")
 
 
 def repair_interrupted_compaction(index_path: str,
@@ -868,7 +903,8 @@ def bake_stats(spark, index_path: str,
     frozen-avgdl approximation has degraded past policy and the index
     needs a stats-refresh rebuild (compact_index's rebuild_threshold is
     the merged-layout twin of this check)."""
-    ds = spark.read.parquet(f"{index_path}/doc_stats")
+    repair_interrupted_compaction(index_path, "doc_stats")
+    ds = read_index_rel(spark, index_path, "doc_stats")
     n, live_avgdl = corpus_stats(ds)
     meta = read_index_meta(index_path)
     if meta is None:
@@ -906,6 +942,97 @@ def bake_stats(spark, index_path: str,
 # a batch-prefixed name) and then writes the row. Resume therefore
 # reconstructs a BIT-IDENTICAL index: the staged bytes were fixed before
 # the first commit (tests/test_index_bm25.py kill-between-units tests).
+
+# --- manifest commit mode (object-store-safe ingest) ------------------------
+#
+# The rename commit above is atomic on POSIX/HDFS but NOT on object
+# stores (an S3 "rename" is copy+delete, and a reader listing the
+# directory mid-copy sees a torn object). Manifest mode removes the
+# rename from the commit path entirely: data files are COPIED under
+# their batch-prefixed names (modelling each object PUT as atomic, which
+# S3 guarantees per object), and VISIBILITY comes from a tiny manifest
+# written last — readers list files from the committed manifests, never
+# from the directory, so a torn or uncommitted object is simply never
+# read. The manifest write itself is one small-object atomic replace
+# (os.replace locally; a conditional PUT on a real store).
+#
+# Mode is a property of the INDEX (write_runs_index(commit_mode=
+# "manifest") creates the base manifest); appends and readers
+# auto-detect. Implemented for the BM25 runs layout (runs + doc_stats +
+# tombstones); compaction remains rename-based and regenerates the base
+# manifest (offline maintenance — see SCALE.md).
+
+MANIFEST_DIR = "_manifests"
+
+
+def _index_commit_mode(index_path: str) -> str:
+    return ("manifest"
+            if os.path.isdir(f"{index_path}/{MANIFEST_DIR}") else "rename")
+
+
+def _manifest_write(index_path: str, name: str, files: list[str]) -> None:
+    """One manifest object listing data files (paths relative to the
+    index root). Atomic small-object replace."""
+    import json as _json
+
+    d = f"{index_path}/{MANIFEST_DIR}"
+    os.makedirs(d, exist_ok=True)
+    tmp = f"{d}/.{name}.tmp"
+    with open(tmp, "w") as f:
+        _json.dump({"files": sorted(files)}, f)
+    os.replace(tmp, f"{d}/{name}.json")
+
+
+def _manifest_rel_files(index_path: str, rel: str) -> list[str] | None:
+    """All committed data files under <rel>, from the manifests — or
+    None when the index is rename-mode (no manifest dir)."""
+    import json as _json
+
+    d = f"{index_path}/{MANIFEST_DIR}"
+    if not os.path.isdir(d):
+        return None
+    out: list[str] = []
+    for fn in sorted(os.listdir(d)):
+        if not fn.endswith(".json"):
+            continue
+        with open(f"{d}/{fn}") as f:
+            for rp in _json.load(f)["files"]:
+                if rp.startswith(rel + "/"):
+                    out.append(f"{index_path}/{rp}")
+    return out
+
+
+def _list_data_files(root: str, rel: str) -> list[str]:
+    """Relative paths of the data files under <root>/<rel> (recursive,
+    skipping markers) — the base-manifest generator."""
+    out = []
+    base = f"{root}/{rel}"
+    for dirpath, _dirnames, filenames in os.walk(base):
+        for fn in filenames:
+            if fn.startswith(("_", ".")):
+                continue
+            full = f"{dirpath}/{fn}"
+            out.append(os.path.relpath(full, root))
+    return sorted(out)
+
+
+def read_index_rel(spark, index_path: str, rel: str,
+                   with_base_path: bool = False) -> DataFrame:
+    """Manifest-aware read of one index relation: rename-mode indexes
+    read the directory; manifest-mode indexes read EXACTLY the committed
+    files (uncommitted/torn objects are invisible by construction)."""
+    files = _manifest_rel_files(index_path, rel)
+    reader = spark.read
+    if with_base_path:
+        reader = reader.option("basePath", f"{index_path}/{rel}")
+    if files is None:
+        return reader.parquet(f"{index_path}/{rel}")
+    if not files:
+        raise FileNotFoundError(
+            f"read_index_rel: no committed files for {rel!r} in the "
+            f"manifests at {index_path}")
+    return reader.parquet(*files)
+
 
 APPEND_LINEAGE_SCHEMA = "batch_id string, unit string, n_files long"
 
@@ -952,24 +1079,70 @@ def _batch_already_committed(spark, index_path: str,
                for b, _ in _append_lineage_committed(spark, index_path))
 
 
+def _staged_kind(stage: str) -> str:
+    """What family of batch a staging dir holds, by its staged content.
+    Distinguishes resume targets: an append must never adopt a crashed
+    DELETE batch (its unit list would drop the staged tombstones on the
+    floor) and vice versa."""
+    for kind, marker in (("delete", "tombstones"),
+                         ("positional", "positional_runs"),
+                         ("ann", "codes"),
+                         ("runs", "runs")):
+        if os.path.isdir(f"{stage}/{marker}"):
+            return kind
+    return "unknown"
+
+
+def _check_staged_kind(stage: str | None, expected: str, caller: str) -> None:
+    if stage is None or not os.path.exists(f"{stage}/_STAGED"):
+        return
+    kind = _staged_kind(stage)
+    if kind != expected:
+        resumer = {"delete": "delete_docs",
+                   "runs": "append_runs_index",
+                   "positional": "append_positional_runs_index",
+                   "ann": "similarity.append_ann_index"}.get(kind, kind)
+        raise ValueError(
+            f"{caller}: the in-flight staged batch at {stage} is a "
+            f"{kind!r} batch, not a {expected!r} one — resume it with "
+            f"{resumer} first."
+        )
+
+
 def _commit_append_units(spark, index_path: str, batch_id: str,
                          units: list[tuple[str, str, str]],
                          fail_after: int | None) -> bool:
     """units: (unit_name, staged_dir, final_dir), stats sidecar last.
     Returns True when every unit committed (False = fail_after abort)."""
     done = _append_lineage_committed(spark, index_path)
+    mode = _index_commit_mode(index_path)
     committed_now = 0
     for unit, src, dst in units:
         if (batch_id, unit) in done:
             continue
         os.makedirs(dst, exist_ok=True)
         n_moved = 0
+        unit_files: list[str] = []
         if os.path.isdir(src):
             for fn in sorted(os.listdir(src)):
                 if fn.startswith("_") or fn.startswith("."):
                     continue
-                os.rename(f"{src}/{fn}", f"{dst}/{batch_id}-{fn}")
+                if mode == "manifest":
+                    # COPY (a per-object atomic PUT on a real store; a
+                    # torn local copy is invisible until the manifest
+                    # lands and a resume re-copies over it)
+                    shutil.copyfile(f"{src}/{fn}", f"{dst}/{batch_id}-{fn}")
+                else:
+                    os.rename(f"{src}/{fn}", f"{dst}/{batch_id}-{fn}")
+                unit_files.append(os.path.relpath(
+                    f"{dst}/{batch_id}-{fn}", index_path))
                 n_moved += 1
+        if mode == "manifest":
+            # visibility commit: the manifest object lands AFTER every
+            # data object of the unit, named so resumes overwrite it
+            _manifest_write(index_path,
+                            f"{batch_id}-{unit.replace('/', '~')}",
+                            unit_files)
         row = spark.createDataFrame(
             [(batch_id, unit, n_moved)], APPEND_LINEAGE_SCHEMA
         ).withColumn("committed_at", F.current_timestamp())
@@ -1029,6 +1202,7 @@ def append_runs_index(spark, index_path: str, new_docs: DataFrame,
     # a compaction crashed mid-swap leaves no runs/ dir — roll forward
     # BEFORE committing units, or the append would resurrect a bare one
     repair_interrupted_compaction(index_path, "runs")
+    repair_interrupted_compaction(index_path, "doc_stats")
     inflight = _find_inflight_batch(index_path)
     if batch_id is None:
         if inflight is not None:
@@ -1063,11 +1237,12 @@ def append_runs_index(spark, index_path: str, new_docs: DataFrame,
         )
     stage = (f"{index_path}/.staging/append_{batch_id}"
              if batch_id is not None else None)
+    _check_staged_kind(stage, "runs", "append_runs_index")
     if _batch_already_committed(spark, index_path, batch_id, stage):
         return 0
 
     if stage is None or not os.path.exists(f"{stage}/_STAGED"):
-        ds = spark.read.parquet(f"{index_path}/doc_stats")
+        ds = read_index_rel(spark, index_path, "doc_stats")
         dt = build_doc_terms_narrow(new_docs, mode=mode)
         old_ids = ds.select("doc_id")
         n_overlap = dt.select("doc_id").distinct().join(
@@ -1150,6 +1325,7 @@ def append_positional_runs_index(spark, index_path: str,
     from cer_for_mti_spark.operators.phrase import build_positional_runs
 
     repair_interrupted_compaction(index_path, "positional_runs")
+    repair_interrupted_compaction(index_path, "docs")
     inflight = _find_inflight_batch(index_path)
     if batch_id is None:
         if inflight is not None:
@@ -1178,6 +1354,8 @@ def append_positional_runs_index(spark, index_path: str,
         )
     stage = (f"{index_path}/.staging/append_{batch_id}"
              if batch_id is not None else None)
+    _check_staged_kind(stage, "positional",
+                       "append_positional_runs_index")
     if _batch_already_committed(spark, index_path, batch_id, stage):
         return 0
 
@@ -1234,8 +1412,141 @@ def append_positional_runs_index(spark, index_path: str,
     return int(n_delta)
 
 
+TOMBSTONE_MAX_IDS = 50_000_000
+
+
+def delete_docs(spark, index_path: str, doc_ids: DataFrame,
+                batch_id: str | None = None,
+                fail_after: int | None = None) -> int:
+    """Tombstone documents of a written runs/positional index — the
+    delete leg of the index lifecycle (build -> append -> DELETE ->
+    compact). The reference's set-difference semantics
+    (run_tool_evaluation.py:642-652, U4 anti-join) applied to retrieval:
+    tombstoned docs are dropped by every query path BEFORE any top-k
+    cut (scorers mask decoded cursors, phrase anti-joins hits — per-doc,
+    so bucket-exact), and compaction physically purges them.
+
+    Deletes are LAZY, Lucene-style: runs bytes, df, doc_stats and the
+    frozen bake avgdl are untouched until compact_runs_index /
+    compact_positional_runs rewrites the index without the tombstoned
+    docs (df and N then genuinely change — that is the stats-change
+    event, priced as the compaction it is).
+
+    The tombstone sidecar (<index>/tombstones, a doc_id parquet) is
+    written through the SAME staged + lineage-committed + resumable
+    protocol as the appends: a crash at any point is repaired by calling
+    delete_docs again; appends refuse to adopt a crashed delete batch
+    and vice versa (_check_staged_kind). Ids not in the index and ids
+    already tombstoned are ignored (idempotent). Returns the number of
+    NEWLY tombstoned docs."""
+    repair_interrupted_compaction(index_path, "runs")
+    repair_interrupted_compaction(index_path, "positional_runs")
+    inflight = _find_inflight_batch(index_path)
+    if batch_id is None:
+        if inflight is not None:
+            n_resumed = delete_docs(spark, index_path, doc_ids,
+                                    batch_id=inflight,
+                                    fail_after=fail_after)
+            if _find_inflight_batch(index_path) is not None:
+                return 0  # the resume itself aborted (fail_after hook)
+            committed = read_tombstones(spark, index_path)
+            novel = doc_ids.select("doc_id").distinct().join(
+                committed, "doc_id", "left_anti").count()
+            if not novel:
+                return n_resumed
+    elif inflight is not None and inflight != batch_id:
+        raise ValueError(
+            f"delete_docs: batch {inflight!r} is staged but not fully "
+            f"committed at {index_path}; resume it first."
+        )
+    stage = (f"{index_path}/.staging/append_{batch_id}"
+             if batch_id is not None else None)
+    _check_staged_kind(stage, "delete", "delete_docs")
+    if _batch_already_committed(spark, index_path, batch_id, stage):
+        return 0
+
+    if stage is None or not os.path.exists(f"{stage}/_STAGED"):
+        member = _index_member_ids(spark, index_path)
+        tomb = doc_ids.select("doc_id").distinct()
+        if member is not None:
+            tomb = tomb.join(member, "doc_id", "left_semi")
+        existing = read_tombstones(spark, index_path)
+        tomb = tomb.join(existing, "doc_id", "left_anti")
+        n_delta = tomb.count()
+        if not n_delta:
+            return 0
+        if batch_id is None:
+            batch_id = _new_batch_id(spark, index_path)
+            stage = f"{index_path}/.staging/append_{batch_id}"
+        shutil.rmtree(stage, ignore_errors=True)
+        tomb.write.mode("overwrite").parquet(f"{stage}/tombstones")
+        with open(f"{stage}/_STAGED", "w") as f:
+            f.write(f"{n_delta}\n")
+    else:
+        with open(f"{stage}/_STAGED") as f:
+            n_delta = int(f.readline())
+
+    units = [("tombstones", f"{stage}/tombstones",
+              f"{index_path}/tombstones")]
+    _commit_append_units(spark, index_path, batch_id, units, fail_after)
+    return int(n_delta)
+
+
+def _index_member_ids(spark, index_path: str) -> DataFrame | None:
+    """doc_id membership relation of a written index: doc_stats for the
+    BM25 runs layout, the docs sidecar for the positional layout, None
+    when neither exists (membership not enforceable)."""
+    for rel in ("doc_stats", "docs"):
+        d = f"{index_path}/{rel}"
+        if os.path.isdir(d):
+            return read_index_rel(spark, index_path, rel).select("doc_id")
+    return None
+
+
+def read_tombstones(spark, index_path: str) -> DataFrame:
+    """The tombstoned doc_id relation (possibly empty). Distinct-safe:
+    the committed sidecar only ever receives pre-deduped batches."""
+    d = f"{index_path}/tombstones"
+    if not os.path.isdir(d) or not any(
+        not f.startswith(("_", ".")) for f in os.listdir(d)
+    ):
+        return spark.createDataFrame([], "doc_id long")
+    files = _manifest_rel_files(index_path, "tombstones")
+    if files is not None and not files:
+        # manifest-mode index whose tombstone objects are not committed
+        return spark.createDataFrame([], "doc_id long")
+    return read_index_rel(spark, index_path, "tombstones").select("doc_id")
+
+
+def load_tombstones(spark, index_path: str,
+                    max_ids: int = TOMBSTONE_MAX_IDS):
+    """Tombstones as a sorted int64 numpy array for decode-time masking
+    (None when there are none). Guarded: past max_ids (~8 bytes/id of
+    broadcast weight) query-time masking is the wrong tool — raise and
+    point at compaction, which physically purges the docs. Same
+    guard-or-shard policy as phrase_search's max_posting_bytes."""
+    import numpy as _np
+
+    tomb = read_tombstones(spark, index_path)
+    n = tomb.count()
+    if not n:
+        return None
+    if n > max_ids:
+        raise ValueError(
+            f"load_tombstones: {n} tombstoned docs at {index_path} "
+            f"exceeds max_ids={max_ids} (~{8 * n >> 20} MiB broadcast); "
+            "run compact_runs_index / compact_positional_runs to purge "
+            "them physically instead of masking at query time."
+        )
+    ids = _np.fromiter((r.doc_id for r in tomb.collect()),
+                       dtype=_np.int64, count=n)
+    ids.sort()
+    return ids
+
+
 def compact_runs_index(spark, index_path: str, avgdl: float,
-                       num_shards: int = 32) -> tuple[int, int]:
+                       num_shards: int = 32,
+                       purge_tombstones: bool = True) -> tuple[int, int]:
     """Fold appended batches of a BM25 RUNS index back to EXACTLY ONE run
     per (term, bucket) — the BM25 twin of phrase.compact_positional_runs.
 
@@ -1249,11 +1560,27 @@ def compact_runs_index(spark, index_path: str, avgdl: float,
     append passed) — re-encoding with anything else would change
     existing docs' impacts. doc_stats and append lineage are untouched
     (layout, not membership). Same staged rewrite + rename swap as the
-    positional compactor. Returns (runs_before, runs_after)."""
+    positional compactor.
+
+    purge_tombstones (default True): docs tombstoned by delete_docs are
+    PHYSICALLY removed — their postings re-encoded away (df, block
+    maxes, max_impact genuinely recomputed), their doc_stats rows
+    dropped, and the tombstone sidecar cleared, so queries stop paying
+    the mask. This is the stats-change event of the delete lifecycle:
+    N (and each affected term's df) drop, so scores legitimately move;
+    the bake avgdl stays frozen as everywhere. Tombstone sets past
+    TOMBSTONE_MAX_IDS should take the full stats-refresh rebuild path
+    instead (decode to doc_terms, anti-join, build_postings — the same
+    pricing as compact_index's rebuild_threshold upgrade).
+
+    Returns (runs_before, runs_after)."""
     repair_interrupted_compaction(index_path, "runs")
-    runs = spark.read.option("basePath", f"{index_path}/runs").parquet(
-        f"{index_path}/runs"
-    )
+    tomb = load_tombstones(spark, index_path) if purge_tombstones else None
+    tomb_bc = (spark.sparkContext.broadcast(tomb)
+               if tomb is not None else None)
+    # manifest-aware: a manifest-mode index may hold uncommitted/torn
+    # objects in the data dirs; compact only what the manifests commit
+    runs = read_index_rel(spark, index_path, "runs", with_base_path=True)
     n_before = runs.count()
     merged = runs.groupBy("term", "bucket").agg(
         F.collect_list(F.struct(*RUN_FIELDS)).alias("runs"),
@@ -1261,11 +1588,11 @@ def compact_runs_index(spark, index_path: str, avgdl: float,
         F.max("last_id").alias("last_id"),
     ).select(
         "term", "bucket", "first_id", "last_id",
-        _make_merge_runs_udf(avgdl)("runs").alias("p"),
+        _make_merge_runs_udf(avgdl, tomb_bc)("runs").alias("p"),
     ).select(
         "term", "bucket", "first_id", "last_id", "p.df", "p.doc_ids",
         "p.tfs", "p.doclens", "p.block_last", "p.block_max", "p.max_impact"
-    )
+    ).filter(F.col("df") > 0)  # fully-tombstoned postings vanish
     from cer_for_mti_spark.functions.hashing import md5_60
 
     staging = f"{index_path}/.compact_staging"
@@ -1284,7 +1611,45 @@ def compact_runs_index(spark, index_path: str, avgdl: float,
     os.rename(f"{staging}/runs", final)
     shutil.rmtree(trash)
     shutil.rmtree(staging, ignore_errors=True)
+    if tomb is not None:
+        _purge_membership_sidecar(spark, index_path, "doc_stats")
+    if _index_commit_mode(index_path) == "manifest":
+        # compaction is offline rename-based maintenance; regenerate the
+        # manifests to point at the compacted files (old unit manifests
+        # are superseded wholesale)
+        shutil.rmtree(f"{index_path}/{MANIFEST_DIR}", ignore_errors=True)
+        _manifest_write(index_path, "base-runs",
+                        _list_data_files(index_path, "runs"))
+        _manifest_write(index_path, "base-doc_stats",
+                        _list_data_files(index_path, "doc_stats"))
+        if os.path.isdir(f"{index_path}/tombstones"):
+            _manifest_write(index_path, "base-tombstones",
+                            _list_data_files(index_path, "tombstones"))
     return int(n_before), int(n_after)
+
+
+def _purge_membership_sidecar(spark, index_path: str, rel: str) -> None:
+    """Post-purge bookkeeping shared by both compactors: rewrite the
+    membership sidecar (doc_stats / docs) without the tombstoned ids via
+    the same staged two-rename swap the runs use (crashes repaired by
+    repair_interrupted_compaction), then clear the tombstone sidecar.
+    Ordering keeps every crash window consistent: runs already purged ->
+    masking already-absent ids is a no-op until the tombstones dir
+    disappears last."""
+    tomb_df = read_tombstones(spark, index_path)
+    kept = read_index_rel(spark, index_path, rel).join(
+        tomb_df, "doc_id", "left_anti"
+    )
+    staging = f"{index_path}/.compact_staging"
+    kept.write.mode("overwrite").parquet(f"{staging}/{rel}")
+    final = f"{index_path}/{rel}"
+    trash = f"{index_path}/.{rel}_old"
+    shutil.rmtree(trash, ignore_errors=True)
+    os.rename(final, trash)
+    os.rename(f"{staging}/{rel}", final)
+    shutil.rmtree(trash)
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(f"{index_path}/tombstones", ignore_errors=True)
 
 
 def build_index(docs: DataFrame, mode: str = "simple",

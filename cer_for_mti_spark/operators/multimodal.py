@@ -1,11 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-The container has no image/audio libraries, so the DECODE step is stubbed
-(deterministic fake features derived from the bytes, or
-NotImplementedError in strict mode) — but the Spark-side plumbing is real
-and tested: schema, batch iteration, partition sizing, UDF signatures
-match what a real decoder (PIL/torchaudio/ffmpeg) would drop into.
+The container has no image/audio libraries, so two tiers exist:
+
+- IMAGES in raw PPM (P6) decode FOR REAL — a stdlib+numpy codec
+  (ppm_decode/ppm_encode) feeds genuine pixel features and a genuine
+  nearest-neighbor resize; synthetic_media generates its image payloads
+  as real PPMs so the pixel paths are tested on actual pixel values.
+- AUDIO/VIDEO (and non-PPM image formats) stay stubbed: deterministic
+  fake features derived from the bytes, or NotImplementedError in strict
+  mode — that is where PIL/torchaudio/ffmpeg would drop in. The
+  Spark-side plumbing (schema, Arrow batch iteration, partition sizing,
+  UDF signatures) is identical for both tiers.
 
 Scale notes: media rows are large -> repartition by size budget before
 mapInPandas (maxRecordsPerBatch keeps Arrow batches bounded); feature
@@ -43,6 +49,74 @@ def _fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return (raw / 2**32).astype(np.float32)
 
 
+def ppm_encode(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6). Stdlib-only; the raw format
+    real pipelines use as the post-decode interchange."""
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + \
+        np.ascontiguousarray(pixels.astype(np.uint8)).tobytes()
+
+
+def ppm_decode(payload: bytes) -> np.ndarray | None:
+    """Binary PPM (P6) -> (h, w, 3) uint8, or None when the payload is
+    not a P6 image (caller falls back to the stub tier). Handles
+    whitespace + '#' comments per the netpbm spec; maxval must be 255."""
+    if not payload.startswith(b"P6"):
+        return None
+    vals, i, n = [], 2, len(payload)
+    while len(vals) < 3 and i < n:
+        c = payload[i:i + 1]
+        if c == b"#":
+            j = payload.find(b"\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        if c.isspace():
+            i += 1
+            continue
+        j = i
+        while j < n and not payload[j:j + 1].isspace():
+            j += 1
+        tok = payload[i:j]
+        if not tok.isdigit():
+            return None
+        vals.append(int(tok))
+        i = j
+    if len(vals) < 3 or vals[2] != 255:
+        return None
+    i += 1  # the single whitespace after maxval
+    w, h = vals[0], vals[1]
+    raw = payload[i:i + w * h * 3]
+    if len(raw) != w * h * 3:
+        return None
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+
+
+def _image_feature(pixels: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real pixel features from a decoded image: per-channel mean/std
+    (6), an 8-bin grayscale histogram (8), aspect ratio and log-scaled
+    pixel count (2) — dim floats, all from actual pixel values."""
+    px = pixels.astype(np.float64)
+    means = px.reshape(-1, 3).mean(axis=0) / 255.0
+    stds = px.reshape(-1, 3).std(axis=0) / 255.0
+    gray = px.mean(axis=2)
+    hist, _ = np.histogram(gray, bins=8, range=(0.0, 256.0))
+    hist = hist / gray.size
+    h, w, _ = pixels.shape
+    extra = np.asarray([w / h, np.log1p(h * w) / 20.0])
+    out = np.concatenate([means, stds, hist, extra])[:dim]
+    return out.astype(np.float32)
+
+
+def resize_nearest(pixels: np.ndarray, target_w: int,
+                   target_h: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy indexing (the geometry
+    contract a PIL resize would satisfy)."""
+    h, w, _ = pixels.shape
+    ys = (np.arange(target_h) * h) // target_h
+    xs = (np.arange(target_w) * w) // target_w
+    return pixels[ys][:, xs]
+
+
 def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
     """Binary payload -> fixed-dim feature vector via mapInPandas.
     strict=True raises NotImplementedError where the real decoder would
@@ -50,14 +124,21 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "media decode requires PIL/librosa/ffmpeg — not in this "
-                    "container; wire the real decoder here"
-                )
-            feats = [
-                _fake_feature(bytes(p)).tolist() for p in pdf["payload"]
-            ]
+            feats = []
+            for t, p in zip(pdf["media_type"], pdf["payload"]):
+                payload = bytes(p)
+                px = ppm_decode(payload) if t == "image" else None
+                if px is not None:
+                    feats.append(_image_feature(px).tolist())  # REAL
+                elif strict:
+                    raise NotImplementedError(
+                        f"decode of {t!r} media requires "
+                        "PIL/librosa/ffmpeg — not in this container "
+                        "(raw PPM images decode for real); wire the "
+                        "real decoder here"
+                    )
+                else:
+                    feats.append(_fake_feature(payload).tolist())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -114,15 +195,29 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
+                t = types[i % 3]
+                if t == "image":
+                    # REAL raw-PPM payload: deterministic gradient +
+                    # per-id phase, so pixel-level assertions have exact
+                    # expected values
+                    w = 64 + int(i) % 256
+                    hgt = 64 + int(i) % 128
+                    yy, xx = np.mgrid[0:hgt, 0:w]
+                    base = (yy * 3 + xx * 5 + int(i) * 7) % 256
+                    px = np.stack(
+                        [base, (base + 85) % 256, (base + 170) % 256],
+                        axis=2).astype(np.uint8)
+                    payload = ppm_encode(px)
+                    rows.append((int(i), t, payload, w, hgt, None))
+                    continue
                 h = hashlib.md5(f"{seed}:{i}".encode()).digest()
                 payload = h * (8 + i % 8)
-                t = types[i % 3]
                 rows.append(
                     (
                         int(i), t, payload,
-                        64 + int(i) % 256 if t == "image" else None,
-                        64 + int(i) % 128 if t == "image" else None,
-                        (1000 + int(i) * 37 % 9000) if t != "image" else None,
+                        None,
+                        None,
+                        (1000 + int(i) * 37 % 9000),
                     )
                 )
             yield pd.DataFrame(
@@ -138,27 +233,34 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
 
 def resize_images(media: DataFrame, target_w: int = 64,
                   target_h: int = 64, strict: bool = False) -> DataFrame:
-    """Image-resize plumbing: one row per image with the target geometry
-    and a resized payload. The PIXEL work is the stub (deterministic
-    bytes keyed on payload+geometry — REPLACE with PIL.Image.resize where
-    the lib exists); the Spark-side contract is real: schema, Arrow batch
-    iteration, output size metadata, non-image rows filtered."""
+    """Image resize: raw-PPM payloads decode and resize FOR REAL
+    (nearest-neighbor numpy indexing, re-encoded as PPM); other image
+    encodings fall back to a deterministic stub payload (or raise in
+    strict mode — that is the PIL.Image.resize drop-in point). Schema,
+    Arrow batch iteration, size metadata and the non-image filter are
+    the same for both tiers."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "image decode/resize requires PIL — not in this "
-                    "container; wire Image.open(...).resize((w, h)) here"
-                )
-            payloads = [
-                _fake_feature(
-                    bytes(p) + target_w.to_bytes(2, "little")
-                    + target_h.to_bytes(2, "little"),
-                    dim=target_w * target_h // 16,
-                ).tobytes()
-                for p in pdf["payload"]
-            ]
+            payloads = []
+            for p in pdf["payload"]:
+                payload = bytes(p)
+                px = ppm_decode(payload)
+                if px is not None:
+                    payloads.append(ppm_encode(
+                        resize_nearest(px, target_w, target_h)))  # REAL
+                elif strict:
+                    raise NotImplementedError(
+                        "decode/resize of non-PPM images requires PIL — "
+                        "not in this container; wire "
+                        "Image.open(...).resize((w, h)) here"
+                    )
+                else:
+                    payloads.append(_fake_feature(
+                        payload + target_w.to_bytes(2, "little")
+                        + target_h.to_bytes(2, "little"),
+                        dim=target_w * target_h // 16,
+                    ).tobytes())
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "width": np.int32(target_w),

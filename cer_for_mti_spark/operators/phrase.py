@@ -245,7 +245,7 @@ def phrase_search_from_index(spark, index_path: str, phrases: DataFrame,
                              mode: str = "simple", num_shards: int = 32,
                              base_df: DataFrame | None = None,
                              max_posting_bytes: int | None = -1,
-                             slop: int = 0) -> DataFrame:
+                             slop: int = 0, tombstones="auto") -> DataFrame:
     """Scan-pruned phrase search over a written positional index: the
     phrase batch's terms (and their shards — a pure function of the term)
     are literal filters, so only |terms| row groups are touched at query
@@ -267,9 +267,11 @@ def phrase_search_from_index(spark, index_path: str, phrases: DataFrame,
         F.col("shard").isin(shards) & F.col("term").isin(sorted(terms))
     )
     if max_posting_bytes == -1:
-        return phrase_search(phrases, pruned, mode, slop=slop)
-    return phrase_search(phrases, pruned, mode,
-                         max_posting_bytes=max_posting_bytes, slop=slop)
+        hits = phrase_search(phrases, pruned, mode, slop=slop)
+    else:
+        hits = phrase_search(phrases, pruned, mode,
+                             max_posting_bytes=max_posting_bytes, slop=slop)
+    return _drop_tombstoned_hits(spark, index_path, hits, tombstones)
 
 
 def phrase_terms(phrase: str, mode: str = "simple") -> list[str]:
@@ -657,12 +659,31 @@ def write_positional_runs_index(pos_runs: DataFrame, path: str,
         )
 
 
+def _drop_tombstoned_hits(spark, index_path: str, hits: DataFrame,
+                          tombstones) -> DataFrame:
+    """Anti-join phrase hits against the index's delete sidecar. Phrase
+    search has no top-k cut, so dropping tombstoned docs from the OUTPUT
+    is exactly the decode-time mask the BM25 scorers need — one
+    broadcastable anti-join, per-doc and therefore bucket-exact."""
+    if isinstance(tombstones, str) and tombstones == "auto":
+        from cer_for_mti_spark.operators.index_build import read_tombstones
+
+        tomb = read_tombstones(spark, index_path)
+    elif tombstones is None:
+        return hits
+    else:
+        tomb = tombstones
+    return hits.join(F.broadcast(tomb.select("doc_id")), "doc_id",
+                     "left_anti").select(*hits.columns)
+
+
 def phrase_search_sharded_from_index(spark, index_path: str,
                                      phrases: DataFrame,
                                      mode: str = "simple",
                                      num_shards: int = 32,
                                      base_df: DataFrame | None = None,
-                                     slop: int = 0) -> DataFrame:
+                                     slop: int = 0,
+                                     tombstones="auto") -> DataFrame:
     """Scan-pruned sharded phrase search over a written positional-runs
     index: shard + term literal filters (PartitionFilters + PushedFilters),
     then per-(phrase, bucket) matching — the full 10^12-doc phrase shape:
@@ -689,11 +710,14 @@ def phrase_search_sharded_from_index(spark, index_path: str,
     pruned = df.filter(
         F.col("shard").isin(shards) & F.col("term").isin(sorted(terms))
     )
-    return phrase_search_sharded(phrases, pruned, mode, slop=slop)
+    hits = phrase_search_sharded(phrases, pruned, mode, slop=slop)
+    return _drop_tombstoned_hits(spark, index_path, hits, tombstones)
 
 
 def compact_positional_runs(spark, index_path: str,
-                            num_shards: int = 32) -> tuple[int, int]:
+                            num_shards: int = 32,
+                            purge_tombstones: bool = True
+                            ) -> tuple[int, int]:
     """Re-merge a positional runs index to EXACTLY ONE run per
     (term, bucket).
 
@@ -718,6 +742,17 @@ def compact_positional_runs(spark, index_path: str,
     )
 
     repair_interrupted_compaction(index_path, "positional_runs")
+    repair_interrupted_compaction(index_path, "docs")
+    from cer_for_mti_spark.operators.index_build import (
+        _purge_membership_sidecar,
+        isin_sorted,
+        load_tombstones,
+    )
+
+    tomb = (load_tombstones(spark, index_path)
+            if purge_tombstones else None)
+    tomb_bc = (spark.sparkContext.broadcast(tomb)
+               if tomb is not None else None)
     runs = spark.read.option(
         "basePath", f"{index_path}/positional_runs"
     ).parquet(f"{index_path}/positional_runs")
@@ -726,10 +761,31 @@ def compact_positional_runs(spark, index_path: str,
     @F.pandas_udf("first_id long, last_id long, df long, doc_ids binary, "
                   "tfs binary, positions binary")
     def merge(runs_s: pd.Series) -> pd.DataFrame:
+        tomb_a = tomb_bc.value if tomb_bc is not None else None
         out = {"first_id": [], "last_id": [], "df": [], "doc_ids": [],
                "tfs": [], "positions": []}
         for rows in runs_s:
             ids, tfs, starts, ends, pos = _decode_rows_merged(list(rows))
+            if tomb_a is not None and len(ids):
+                # physical purge: drop tombstoned docs' position groups
+                keep = ~isin_sorted(ids, tomb_a)
+                if not keep.all():
+                    kept_idx = np.flatnonzero(keep)
+                    pos = (np.concatenate([pos[starts[i]:ends[i]]
+                                           for i in kept_idx])
+                           if len(kept_idx) else
+                           np.array([], dtype=np.int64))
+                    ids, tfs = ids[keep], tfs[keep]
+            if not len(ids):
+                # fully-tombstoned posting: df=0 row, dropped by the
+                # caller's filter
+                out["first_id"].append(0)
+                out["last_id"].append(0)
+                out["df"].append(0)
+                out["doc_ids"].append(b"")
+                out["tfs"].append(b"")
+                out["positions"].append(b"")
+                continue
             d, t, p = _encode_positional(ids, tfs, pos)
             out["first_id"].append(int(ids[0]))
             out["last_id"].append(int(ids[-1]))
@@ -746,7 +802,7 @@ def compact_positional_runs(spark, index_path: str,
     ).select("term", "bucket", merge("runs").alias("p")).select(
         "term", "bucket", "p.first_id", "p.last_id", "p.df",
         "p.doc_ids", "p.tfs", "p.positions"
-    )
+    ).filter(F.col("df") > 0)
     staging = f"{index_path}/.compact_staging"
     shutil.rmtree(staging, ignore_errors=True)
     sharded = merged.withColumn(
@@ -763,6 +819,11 @@ def compact_positional_runs(spark, index_path: str,
     os.rename(f"{staging}/positional_runs", final)
     shutil.rmtree(trash)
     shutil.rmtree(staging, ignore_errors=True)
+    if tomb is not None:
+        if os.path.isdir(f"{index_path}/docs"):
+            _purge_membership_sidecar(spark, index_path, "docs")
+        else:  # query-only index (no docs sidecar): just clear the marks
+            shutil.rmtree(f"{index_path}/tombstones", ignore_errors=True)
     return int(n_before), int(n_after)
 
 

@@ -564,6 +564,32 @@ def write_ann_index(emb: DataFrame, path: str, n_centroids: int = 16,
     emb.sparkSession.createDataFrame(
         book_rows, "j int, c int, vec array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    _write_ann_meta(path, n_base=emb.count())
+
+
+ANN_META_FILE = "ann_meta.json"
+
+
+def _write_ann_meta(path: str, n_base: int) -> None:
+    """Pin the corpus size the quantizers were TRAINED on (atomic tmp +
+    rename) — the denominator of the append-drift guard."""
+    import json as _json
+
+    os.makedirs(path, exist_ok=True)
+    tmp = f"{path}/.{ANN_META_FILE}.tmp"
+    with open(tmp, "w") as f:
+        _json.dump({"n_base": int(n_base)}, f)
+    os.replace(tmp, f"{path}/{ANN_META_FILE}")
+
+
+def _read_ann_meta(path: str) -> dict | None:
+    import json as _json
+
+    p = f"{path}/{ANN_META_FILE}"
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return _json.load(f)
 
 
 def _check_no_inflight_append(path: str, reader: str) -> None:
@@ -679,7 +705,8 @@ def append_ann_index(spark, path: str, new_emb: DataFrame,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      on_conflict: str = "error",
                      batch_id: str | None = None,
-                     fail_after: int | None = None) -> int:
+                     fail_after: int | None = None,
+                     drift_threshold: float | None = 0.5) -> int:
     """Incremental vector ingest into a written IVF-PQ index: new vectors
     are assigned to the EXISTING centroids and encoded with the EXISTING
     codebooks, then their codes (and exact vectors, when the index has
@@ -734,6 +761,7 @@ def append_ann_index(spark, path: str, new_emb: DataFrame,
         )
     stage = (f"{path}/.staging/append_{batch_id}"
              if batch_id is not None else None)
+    ib_mod._check_staged_kind(stage, "ann", "append_ann_index")
     if ib_mod._batch_already_committed(spark, path, batch_id, stage):
         return 0
 
@@ -762,6 +790,27 @@ def append_ann_index(spark, path: str, new_emb: DataFrame,
         n_delta = new_emb.select(id_col).distinct().count()
         if not n_delta:
             return 0
+        meta = _read_ann_meta(path)
+        if drift_threshold is not None and meta is not None:
+            # drift guard — the ANN analogue of compact_index's
+            # rebuild_threshold: frozen-quantizer appends are exact vs a
+            # re-encode, but recall decays as appended data drifts from
+            # the TRAINED centroids/codebooks. Once the appended mass
+            # exceeds drift_threshold of the training corpus, refuse and
+            # price the recluster as the rebuild it is.
+            n_base = int(meta["n_base"])
+            n_now = codes.count()
+            if n_now + n_delta > (1.0 + drift_threshold) * n_base:
+                raise ValueError(
+                    f"append_ann_index: appending {n_delta} vectors would "
+                    f"put the index at {n_now + n_delta} vectors vs "
+                    f"{n_base} at quantizer training time "
+                    f"(> {drift_threshold:.0%} appended) — recall under "
+                    "the frozen centroids/codebooks is no longer "
+                    "trustworthy. Retrain with write_ann_index over the "
+                    "full corpus (or pass drift_threshold=None to "
+                    "override)."
+                )
         cents = spark.read.parquet(f"{path}/centroids")
         n_cells = cents.count()
         brows = spark.read.parquet(f"{path}/codebooks").collect()

@@ -98,6 +98,79 @@ def stream_append_runs_index(spark: SparkSession, input_dir: str,
     )
 
 
+def stream_append_positional_runs_index(spark: SparkSession,
+                                        input_dir: str, index_path: str,
+                                        checkpoint_dir: str,
+                                        mode: str = "simple",
+                                        num_shards: int = 32,
+                                        schema: str = DOCS_STREAM_SCHEMA):
+    """Positional twin of stream_append_runs_index: each micro-batch
+    runs index_build.append_positional_runs_index with the lineage-keyed
+    batch id ``stream-<id>`` — exactly-once end to end by the same
+    argument (fully committed replay -> lineage no-op; partial -> staged
+    bytes resume; never staged -> normal append). No stats caveat at all:
+    positions are doc-local, so streamed phrase hits are identical to a
+    from-scratch build's. The index must carry the ``docs`` sidecar
+    (write_positional_runs_index(..., docs=...)) — disjointness is
+    enforced per micro-batch like everywhere else."""
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ib.append_positional_runs_index(
+            spark, index_path, batch_df, mode=mode,
+            num_shards=num_shards, batch_id=f"stream-{batch_id}",
+        )
+
+    return (
+        docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+EMB_STREAM_SCHEMA = "vec_id long, embedding array<float>"
+
+
+def stream_append_ann_index(spark: SparkSession, input_dir: str,
+                            index_path: str, checkpoint_dir: str,
+                            schema: str = EMB_STREAM_SCHEMA):
+    """ANN twin: each micro-batch of vectors runs
+    similarity.append_ann_index under the frozen-quantizer contract (new
+    vectors assigned to the EXISTING centroids and encoded with the
+    EXISTING codebooks — content-identical to a re-encode, recall drift
+    under distribution shift is the recluster/rebuild event, see
+    append_ann_index's drift guard). Exactly-once via the same
+    lineage-keyed ``stream-<id>`` batch ids; per-cell (vectors, codes)
+    unit pairs commit atomically, and the ANN readers refuse torn
+    in-flight state, so a crashed micro-batch is repaired on the next
+    trigger before anything is served."""
+    from cer_for_mti_spark.operators import similarity
+
+    emb = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        similarity.append_ann_index(
+            spark, index_path, batch_df,
+            batch_id=f"stream-{batch_id}",
+        )
+
+    return (
+        emb.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 SESSION_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long, total_value double"

@@ -977,3 +977,95 @@ def test_bm25_exclude(spark, webtext, index_300):
     # AND results are a subset of OR results' doc sets per query
     or_docs = {(q, d) for q, _, d, _ in got}
     assert all((q, d) in or_docs for q, _, d, _ in conj)
+
+
+def test_manifest_commit_mode(spark, tmp_path):
+    """Object-store-safe ingest: a manifest-mode index commits appends
+    by COPY + manifest (no renames on the data path); readers list files
+    from committed manifests, so an uncommitted or torn object is never
+    read. Kill-between-units: after a crash the unmanifested unit is
+    invisible, queries still serve the pre-append index, and the resume
+    lands the identical content a rename-mode append produces."""
+    import os as _os
+    import shutil as _sh
+
+    from cer_for_mti_spark import datagen
+
+    full = datagen.generate_webtext(spark, 100, seed=47).cache()
+    old = full.filter(F.col("doc_id") < 70)
+    new = full.filter(F.col("doc_id") >= 70)
+    dt_old = ib.build_doc_terms(old).cache()
+    ds_old = ib.build_doc_stats(dt_old)
+    n_old, avgdl = ib.corpus_stats(ds_old)
+    runs_old = ib.build_posting_runs(dt_old, ds_old, avgdl, salt=4,
+                                     n_docs=100)
+    idx_m = str(tmp_path / "manifest_idx")
+    idx_r = str(tmp_path / "rename_idx")
+    ib.write_runs_index(runs_old, ds_old, idx_m, num_shards=4,
+                        commit_mode="manifest")
+    ib.write_runs_index(runs_old, ds_old, idx_r, num_shards=4)
+    assert ib._index_commit_mode(idx_m) == "manifest"
+    assert ib._index_commit_mode(idx_r) == "rename"
+
+    qs = spark.createDataFrame([(0, "the data"), (1, "the")],
+                               "query_id int, query string")
+    base_key = _key(bm25.bm25_wand_sharded_from_index(
+        spark, idx_m, qs, n_old, avgdl, k=10, num_shards=4).collect())
+    assert base_key == _key(bm25.bm25_wand_sharded_from_index(
+        spark, idx_r, qs, n_old, avgdl, k=10, num_shards=4).collect())
+
+    # crash after 1 unit commit: the committed unit is manifested, the
+    # rest is staged only; a TORN uncommitted object planted in the data
+    # dir must be invisible to readers
+    ib.append_runs_index(spark, idx_m, new, avgdl, salt=4, n_docs=100,
+                         num_shards=4, fail_after=1)
+    with open(f"{idx_m}/runs/shard=3/b0000-torn.parquet", "wb") as f:
+        f.write(b"\x00garbage not parquet")
+    mid_n, mid_avgdl = ib.bake_stats(spark, idx_m)
+    assert mid_n == 70  # doc_stats unit (last) not committed yet
+    # queries still run (committed manifests only — the torn file and
+    # the unmanifested shard units are not listed)
+    mid = bm25.bm25_wand_sharded_from_index(
+        spark, idx_m, qs, n_old, avgdl, k=10, num_shards=4)
+    assert mid.count() > 0
+    _os.remove(f"{idx_m}/runs/shard=3/b0000-torn.parquet")
+
+    # resume, then content must equal the rename-mode append
+    ib.append_runs_index(spark, idx_m, new, avgdl, salt=4, n_docs=100,
+                         num_shards=4)
+    ib.append_runs_index(spark, idx_r, new, avgdl, salt=4, n_docs=100,
+                         num_shards=4)
+    def _manifest_content(idx):
+        runs = ib.read_index_rel(spark, idx, "runs", with_base_path=True)
+        rows = sorted(
+            (r["shard"], r["term"], r["bucket"], r["first_id"],
+             r["last_id"], r["df"], bytes(r["doc_ids"]), bytes(r["tfs"]),
+             bytes(r["doclens"]), tuple(r["block_last"]),
+             tuple(r["block_max"]), r["max_impact"])
+            for r in runs.collect())
+        ds = sorted(map(tuple, ib.read_index_rel(spark, idx, "doc_stats")
+                        .select("doc_id", "doclen").collect()))
+        return rows, ds
+    assert _manifest_content(idx_m) == _manifest_content(idx_r)
+    got = _key(bm25.bm25_wand_sharded_from_index(
+        spark, idx_m, qs, 100, avgdl, k=10, num_shards=4).collect())
+    want = _key(bm25.bm25_wand_sharded_from_index(
+        spark, idx_r, qs, 100, avgdl, k=10, num_shards=4).collect())
+    assert got == want
+
+    # deletes + compaction keep working in manifest mode (tombstones ride
+    # the same commit path; compaction regenerates the base manifests)
+    del_df = spark.createDataFrame([(int(i),) for i in range(0, 100, 9)],
+                                   "doc_id long")
+    assert ib.delete_docs(spark, idx_m, del_df) == del_df.count()
+    masked = bm25.bm25_wand_sharded_from_index(
+        spark, idx_m, qs, 100, avgdl, k=100, num_shards=4).collect()
+    assert not {r.doc_id for r in masked} & set(range(0, 100, 9))
+    ib.compact_runs_index(spark, idx_m, avgdl, num_shards=4)
+    assert not _os.path.isdir(f"{idx_m}/tombstones")
+    assert ib.read_index_rel(spark, idx_m, "doc_stats").count() == \
+        100 - del_df.count()
+    post = bm25.bm25_wand_sharded_from_index(
+        spark, idx_m, qs, 100 - del_df.count(), avgdl, k=100,
+        num_shards=4).collect()
+    assert post and not {r.doc_id for r in post} & set(range(0, 100, 9))

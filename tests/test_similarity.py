@@ -424,3 +424,38 @@ def test_append_ann_index_novel_delta_after_crash(spark, tmp_path):
         "committed_at").collect()
     first_units = [r.unit for r in lin if r.batch_id == "b0000"]
     assert first_units[0].startswith("vectors/")
+
+
+def test_ann_append_drift_guard(spark, tmp_path):
+    """Frozen-quantizer appends refuse past the drift threshold (the ANN
+    analogue of compact_index's rebuild_threshold): recall under stale
+    centroids/codebooks silently decays, so the guard prices the
+    recluster as the rebuild it is. Retraining with write_ann_index over
+    the full corpus restores the contract (self-recall@1 == 1 through
+    the exact layer for the formerly-drifted vectors)."""
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").cache()
+    base = emb.filter(F.col("vec_id") < 200)
+    small = emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 260))
+    big = emb.filter((F.col("vec_id") >= 260) & (F.col("vec_id") < 400))
+    idx = str(tmp_path / "ann_drift")
+    similarity.write_ann_index(base, idx, n_centroids=8, m=8, ks=16,
+                               store_vectors=True)
+    # 60/200 = 30% appended: under the default 50% threshold
+    assert similarity.append_ann_index(spark, idx, small) == 60
+    # +140 would be 100% appended: refused, message prices the retrain
+    with pytest.raises(ValueError, match="[Rr]etrain"):
+        similarity.append_ann_index(spark, idx, big)
+    # explicit override still works (operator's informed choice)
+    assert similarity.append_ann_index(spark, idx, big,
+                                       drift_threshold=None) == 140
+    # retrain over the full corpus restores the recall contract
+    idx2 = str(tmp_path / "ann_retrained")
+    full = emb.filter(F.col("vec_id") < 400)
+    similarity.write_ann_index(full, idx2, n_centroids=8, m=8, ks=16,
+                               store_vectors=True)
+    qs = big.limit(8).select(F.col("vec_id").alias("q_id"),
+                             F.col("embedding").alias("q_vec"))
+    top = similarity.ivf_topk_from_index(spark, idx2, qs, k=1, nprobe=2)
+    r1 = {r.q_id: r.vec_id for r in top.collect()}
+    assert len(r1) == 8 and all(q == v for q, v in r1.items())

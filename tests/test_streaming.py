@@ -229,3 +229,104 @@ def test_stream_append_runs_index(spark, tmp_path):
     assert ib.append_runs_index(spark, idx, new, avgdl, num_shards=4,
                                 batch_id=bids[0]) == 0
     assert spark.read.parquet(f"{idx}/doc_stats").count() == 100
+
+
+def test_stream_append_positional_runs_index(spark, tmp_path):
+    """Positional streaming twin: micro-batches are lineage-keyed atomic
+    appends; streamed phrase hits are identical to a from-scratch
+    positional build (no stats caveat at all); restart appends nothing;
+    replaying a committed stream batch id is a no-op."""
+    from cer_for_mti_spark.operators import phrase as ph
+
+    full = datagen.generate_webtext(spark, 100, seed=43).cache()
+    base = full.filter(F.col("doc_id") < 50)
+    new = full.filter(F.col("doc_id") >= 50)
+    idx = str(tmp_path / "stream_pos_idx")
+    ph.write_positional_runs_index(
+        ph.build_positional_runs(base, salt=4, n_docs=100), idx,
+        num_shards=4, docs=base)
+
+    input_dir = str(tmp_path / "stream_pos_in")
+    new.repartition(5).write.parquet(input_dir)
+    ckpt = str(tmp_path / "stream_pos_ckpt")
+    sch = "doc_id long, text string, lang string, source string, n_chars long"
+    q = ingest.stream_append_positional_runs_index(
+        spark, input_dir, idx, ckpt, num_shards=4, schema=sch)
+    q.awaitTermination(180)
+
+    assert spark.read.parquet(f"{idx}/docs").count() == 100
+    phrases = spark.createDataFrame(
+        [(0, "the data"), (1, "the")], "query_id int, query string")
+    key = lambda rows: sorted((r.phrase_id, r.doc_id, r.n_matches)
+                              for r in rows)
+    got = key(ph.phrase_search_sharded_from_index(
+        spark, idx, phrases, num_shards=4).collect())
+    runs_f = ph.build_positional_runs(full, salt=4, n_docs=100)
+    want = key(ph.phrase_search_sharded(phrases, runs_f).collect())
+    assert got == want and len(got) > 0
+
+    # restart: no new files -> nothing appended
+    q2 = ingest.stream_append_positional_runs_index(
+        spark, input_dir, idx, ckpt, num_shards=4, schema=sch)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(f"{idx}/docs").count() == 100
+
+    # replay of a committed stream batch id is a lineage no-op
+    lin = spark.read.parquet(f"{idx}/append_lineage")
+    bids = sorted({r.batch_id for r in lin.select("batch_id").collect()})
+    assert bids and all(b.startswith("stream-") for b in bids)
+    assert ib.append_positional_runs_index(
+        spark, idx, new, num_shards=4, batch_id=bids[0]) == 0
+
+
+def test_stream_append_ann_index(spark, tmp_path):
+    """ANN streaming twin: micro-batches append vectors under the
+    frozen-quantizer contract; the streamed index's codes are
+    content-identical to a full re-encode with the stored artifacts;
+    restart appends nothing; replaying a committed stream batch id is a
+    no-op."""
+    from cer_for_mti_spark.operators import similarity
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").cache()
+    base = emb.filter(F.col("vec_id") < 300)
+    new = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    idx = str(tmp_path / "stream_ann_idx")
+    similarity.write_ann_index(base, idx, n_centroids=8, m=8, ks=16,
+                               store_vectors=True)
+
+    input_dir = str(tmp_path / "stream_ann_in")
+    new.repartition(5).write.parquet(input_dir)
+    ckpt = str(tmp_path / "stream_ann_ckpt")
+    q = ingest.stream_append_ann_index(spark, input_dir, idx, ckpt)
+    q.awaitTermination(180)
+
+    codes_df, _, books = similarity.read_ann_index(spark, idx)
+    got = {r["id"]: (r["cell"], bytes(r["codes"]))
+           for r in codes_df.collect()}
+    cents = spark.read.parquet(f"{idx}/centroids")
+    both = base.unionByName(new)
+    assigned = similarity.ivf_assign(both, cents)
+    want_codes = similarity.pq_encode(
+        assigned.select(F.col("id").alias("vec_id"),
+                        F.col("v").alias("embedding")), books
+    ).join(assigned.select("id", "cell"), "id")
+    want = {r["id"]: (r["cell"], bytes(r["codes"]))
+            for r in want_codes.collect()}
+    assert got == want and len(got) == 400
+    assert spark.read.option("basePath", f"{idx}/vectors").parquet(
+        f"{idx}/vectors").count() == 400
+
+    # restart: nothing new
+    q2 = ingest.stream_append_ann_index(spark, input_dir, idx, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.option("basePath", f"{idx}/codes").parquet(
+        f"{idx}/codes").count() == 400
+
+    # replay of a committed stream batch id is a lineage no-op
+    from cer_for_mti_spark.operators import index_build as ib_mod
+    lin = spark.read.parquet(f"{idx}/append_lineage")
+    bids = sorted({r.batch_id for r in lin.select("batch_id").collect()})
+    assert bids and all(b.startswith("stream-") for b in bids)
+    assert similarity.append_ann_index(spark, idx, new,
+                                       batch_id=bids[0]) == 0

@@ -118,10 +118,51 @@ def test_multimodal_features_deterministic(spark):
     assert all(len(f) == multimodal.FEATURE_DIM for _, f in a)
 
 
-def test_multimodal_strict_raises(spark):
-    media = multimodal.synthetic_media(spark, n=4, seed=42)
+def test_multimodal_strict_boundary(spark):
+    """strict mode: raw-PPM images decode FOR REAL (no raise); audio and
+    video still hit the explicit NotImplementedError boundary where
+    librosa/ffmpeg would go."""
+    media = multimodal.synthetic_media(spark, n=12, seed=42).cache()
+    imgs = media.filter("media_type = 'image'")
+    rows = multimodal.extract_features(imgs, strict=True).collect()
+    assert len(rows) == imgs.count() > 0
     with pytest.raises(Exception, match="NotImplementedError|decode"):
-        multimodal.extract_features(media, strict=True).collect()
+        multimodal.extract_features(
+            media.filter("media_type = 'audio'"), strict=True).collect()
+
+
+def test_ppm_roundtrip_and_real_pixel_features(spark):
+    """The stdlib PPM codec round-trips exactly, and extract_features
+    computes REAL statistics of the actual pixel values (asserted
+    against a hand-computed constant image)."""
+    import numpy as np
+
+    px = np.zeros((4, 8, 3), dtype=np.uint8)
+    px[..., 0] = 100
+    px[..., 1] = 200
+    px[..., 2] = 0
+    payload = multimodal.ppm_encode(px)
+    back = multimodal.ppm_decode(payload)
+    assert back is not None and np.array_equal(back, px)
+    # comments + whitespace per the netpbm spec
+    commented = b"P6\n# a comment\n8 4\n255\n" + px.tobytes()
+    assert np.array_equal(multimodal.ppm_decode(commented), px)
+    assert multimodal.ppm_decode(b"NOTPPM") is None
+
+    media = spark.createDataFrame(
+        [(1, "image", payload, 8, 4, None)],
+        multimodal.MEDIA_SCHEMA)
+    feat = multimodal.extract_features(media, strict=True).collect()[0]
+    f = feat.feature
+    # channel means of the constant image: 100/255, 200/255, 0
+    assert abs(f[0] - 100 / 255) < 1e-6
+    assert abs(f[1] - 200 / 255) < 1e-6
+    assert abs(f[2] - 0.0) < 1e-9
+    # constant image -> zero std per channel
+    assert all(abs(x) < 1e-9 for x in f[3:6])
+    # gray == 100 -> all mass in histogram bin 3 ([96, 128))
+    assert abs(f[6 + 3] - 1.0) < 1e-9
+    assert abs(f[14] - 8 / 4) < 1e-6  # aspect ratio w/h
 
 
 def test_frame_sampling(spark):
@@ -245,21 +286,40 @@ def test_winnow_fingerprints_shared_run(spark):
     assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
 
 
-def test_resize_images_plumbing(spark):
+def test_resize_images_real_pixels(spark):
+    """Resize runs on REAL pixels for PPM payloads: output payloads are
+    valid PPMs of the target geometry whose pixels equal the
+    nearest-neighbor subsample of the source (exact, per pixel);
+    deterministic across runs; strict mode raises only for non-PPM
+    images (the PIL drop-in boundary)."""
+    import numpy as np
+
     from cer_for_mti_spark.operators import multimodal
 
-    media = multimodal.synthetic_media(spark, n=30, seed=42)
-    out = multimodal.resize_images(media, target_w=32, target_h=16)
+    media = multimodal.synthetic_media(spark, n=30, seed=42).cache()
+    out = multimodal.resize_images(media, target_w=32, target_h=16,
+                                   strict=True)  # all PPM -> no raise
     rows = out.collect()
     n_images = media.filter("media_type = 'image'").count()
     assert len(rows) == n_images and n_images > 0
     assert all(r.width == 32 and r.height == 16 for r in rows)
-    assert all(len(bytes(r.payload)) == 32 * 16 // 16 * 4 for r in rows)
+    src = {r.media_id: bytes(r.payload)
+           for r in media.filter("media_type = 'image'").collect()}
+    for r in rows:
+        px = multimodal.ppm_decode(bytes(r.payload))
+        assert px is not None and px.shape == (16, 32, 3)
+        want = multimodal.resize_nearest(
+            multimodal.ppm_decode(src[r.media_id]), 32, 16)
+        assert np.array_equal(px, want)
     # deterministic
     again = {(r.media_id, bytes(r.payload)) for r in
              multimodal.resize_images(media, 32, 16).collect()}
     assert {(r.media_id, bytes(r.payload)) for r in rows} == again
     import pytest as _pytest
 
-    with _pytest.raises(Exception):
-        multimodal.resize_images(media, 32, 16, strict=True).collect()
+    # non-PPM image payload: strict raises at the PIL boundary
+    weird = spark.createDataFrame(
+        [(9, "image", b"JFIF-ish bytes", 4, 4, None)],
+        multimodal.MEDIA_SCHEMA)
+    with _pytest.raises(Exception, match="NotImplementedError|PIL"):
+        multimodal.resize_images(weird, 32, 16, strict=True).collect()

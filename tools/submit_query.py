@@ -78,6 +78,9 @@ def main() -> None:
     # decoding at a drifted live avgdl can exceed those bounds and make
     # block-max WAND skip true top-k docs
     n, avgdl = ib.bake_stats(spark, args.index)
+    # tombstoned docs (submit_delete.py) are dropped before every top-k
+    # cut; the array is loaded once and passed to whichever path runs
+    tomb = ib.load_tombstones(spark, args.index)
     terms = sorted(bm25._query_term_set(queries.collect(), args.mode))
     if args.exclude:
         neg_terms = bm25._query_term_set([{"query": args.exclude}],
@@ -91,13 +94,13 @@ def main() -> None:
                                            num_shards=args.shards)
             out = bm25.bm25_exclude_sharded(
                 qex, pruned, n, avgdl, k=args.k, mode=args.mode,
-                conjunctive=args.conjunctive)
+                conjunctive=args.conjunctive, tombstones=tomb)
         else:
             pruned = bm25.read_postings_pruned(spark, args.index, terms,
                                                num_shards=args.shards)
             out = bm25.bm25_exclude(
                 qex, pruned, n, avgdl, k=args.k, mode=args.mode,
-                conjunctive=args.conjunctive)
+                conjunctive=args.conjunctive, tombstones=tomb)
         for r in out.orderBy("query_id", "rank").collect():
             print(json.dumps({
                 "query_id": r["query_id"], "query": qtext[r["query_id"]],
@@ -111,21 +114,22 @@ def main() -> None:
         pruned = bm25.read_runs_pruned(spark, args.index, terms,
                                        num_shards=args.shards)
         out = bm25.bm25_conjunctive_sharded(queries, pruned, n, avgdl,
-                                            k=args.k, mode=args.mode)
+                                            k=args.k, mode=args.mode,
+                                            tombstones=tomb)
     elif args.conjunctive:
         pruned = bm25.read_postings_pruned(spark, args.index, terms,
                                            num_shards=args.shards)
         out = bm25.bm25_conjunctive(queries, pruned, n, avgdl, k=args.k,
-                                    mode=args.mode)
+                                    mode=args.mode, tombstones=tomb)
     elif args.sharded:
         out = bm25.bm25_wand_sharded_from_index(
             spark, args.index, queries, n, avgdl, k=args.k, mode=args.mode,
-            num_shards=args.shards,
+            num_shards=args.shards, tombstones=tomb,
         )
     else:
         out = bm25.bm25_wand_from_index(
             spark, args.index, queries, n, avgdl, k=args.k, mode=args.mode,
-            num_shards=args.shards,
+            num_shards=args.shards, tombstones=tomb,
         )
     for r in out.orderBy("query_id", "rank").collect():
         print(json.dumps({
