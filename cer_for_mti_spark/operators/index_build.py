@@ -1438,9 +1438,13 @@ def delete_docs(spark, index_path: str, doc_ids: DataFrame,
     delete_docs again; appends refuse to adopt a crashed delete batch
     and vice versa (_check_staged_kind). Ids not in the index and ids
     already tombstoned are ignored (idempotent). Returns the number of
-    NEWLY tombstoned docs."""
-    repair_interrupted_compaction(index_path, "runs")
-    repair_interrupted_compaction(index_path, "positional_runs")
+    NEWLY tombstoned docs.
+
+    Works unchanged on an ANN index (membership = the codes ids; pass
+    vector ids as doc_id): the ANN query paths mask the same sidecar and
+    similarity.compact_ann_index purges it."""
+    for rel in ("runs", "positional_runs", "codes", "vectors"):
+        repair_interrupted_compaction(index_path, rel)
     inflight = _find_inflight_batch(index_path)
     if batch_id is None:
         if inflight is not None:
@@ -1494,12 +1498,18 @@ def delete_docs(spark, index_path: str, doc_ids: DataFrame,
 
 def _index_member_ids(spark, index_path: str) -> DataFrame | None:
     """doc_id membership relation of a written index: doc_stats for the
-    BM25 runs layout, the docs sidecar for the positional layout, None
-    when neither exists (membership not enforceable)."""
+    BM25 runs layout, the docs sidecar for the positional layout, the
+    codes ids for an ANN index (vector deletes share the same sidecar +
+    protocol), None when none exists (membership not enforceable)."""
     for rel in ("doc_stats", "docs"):
         d = f"{index_path}/{rel}"
         if os.path.isdir(d):
             return read_index_rel(spark, index_path, rel).select("doc_id")
+    if os.path.isdir(f"{index_path}/codes"):
+        return spark.read.option(
+            "basePath", f"{index_path}/codes"
+        ).parquet(f"{index_path}/codes").select(
+            F.col("id").alias("doc_id"))
     return None
 
 

@@ -350,14 +350,16 @@ def pq_encode(emb: DataFrame, codebooks: np.ndarray,
 
 def _pq_adc_scan(codes_df: DataFrame, codebooks: np.ndarray,
                  q_rows: list, k: int,
-                 cells_by_q: dict | None = None) -> DataFrame:
+                 cells_by_q: dict | None = None,
+                 tomb: np.ndarray | None = None) -> DataFrame:
     """Shared ADC scan: per query, a (m, ks) LUT of inner products
     between the normalized query subvector and each codeword; a corpus
     code's score = sum over subspaces of LUT[j][code[j]] ~= cosine. One
     mapInPandas scan of the codes emits a per-batch top-k per query
     (numpy fancy indexing — no Python per row), then one tiny window
     merges partitions. Deterministic: scores rounded to 6, ties by
-    ascending id.
+    ascending id. tomb (sorted int64 ids) drops tombstoned vectors
+    BEFORE any per-batch top-k cut (delete_docs semantics).
 
     cells_by_q ({qid: frozenset(cell ids)}, requires a `cell` column):
     each query scores ONLY rows from its OWN probed cells — the prune
@@ -379,7 +381,15 @@ def _pq_adc_scan(codes_df: DataFrame, codebooks: np.ndarray,
     )
 
     def scan(batches):
+        from cer_for_mti_spark.operators.index_build import isin_sorted
+
         for pdf in batches:
+            if tomb is not None and len(pdf):
+                keep = ~isin_sorted(pdf["id"].to_numpy(), tomb)
+                if not keep.all():
+                    pdf = pdf[keep]
+            if not len(pdf):
+                continue
             codes = np.stack(
                 [np.frombuffer(bytes(b), dtype=np.uint8)
                  for b in pdf["codes"]]
@@ -634,7 +644,8 @@ def read_ann_index(spark, path: str):
 
 def ivf_topk_from_index(spark, path: str, queries: DataFrame, k: int = 5,
                         nprobe: int = 2, q_id_col: str = "q_id",
-                        q_vec_col: str = "q_vec") -> DataFrame:
+                        q_vec_col: str = "q_vec",
+                        tombstones="auto") -> DataFrame:
     """IVF-Flat top-k over a written index's EXACT-vector layer
     (write_ann_index(store_vectors=True)): probe list -> literal cell
     filter (partition pruning), true cosine inside the probed cells
@@ -644,6 +655,16 @@ def ivf_topk_from_index(spark, path: str, queries: DataFrame, k: int = 5,
     vectors = spark.read.option("basePath", f"{path}/vectors").parquet(
         f"{path}/vectors"
     )
+    if isinstance(tombstones, str) and tombstones == "auto":
+        from cer_for_mti_spark.operators.index_build import load_tombstones
+
+        tombstones = load_tombstones(spark, path)
+    if tombstones is not None and len(tombstones):
+        # drop tombstoned vectors BEFORE scoring/top-k (exact: phrase-
+        # style anti-join — the exact layer has no interim cuts either)
+        tomb_df = spark.createDataFrame(
+            [(int(i),) for i in tombstones], "id long")
+        vectors = vectors.join(F.broadcast(tomb_df), "id", "left_anti")
     cent_rows = spark.read.parquet(f"{path}/centroids").select(
         "c_id", _as_double("c_vec").alias("cv")
     ).collect()
@@ -679,7 +700,7 @@ def ivf_topk_from_index(spark, path: str, queries: DataFrame, k: int = 5,
 def ann_topk_from_index(spark, path: str, queries: DataFrame, k: int = 5,
                         nprobe: int = 2, q_id_col: str = "q_id",
                         q_vec_col: str = "q_vec",
-                        index=None) -> DataFrame:
+                        index=None, tombstones="auto") -> DataFrame:
     """IVF-PQ top-k over a WRITTEN index: the probe list is a literal
     `cell IN (...)` filter on the partition column, so only nprobe cell
     DIRECTORIES are read (PartitionFilters — plan-asserted in tests);
@@ -698,7 +719,62 @@ def ann_topk_from_index(spark, path: str, queries: DataFrame, k: int = 5,
     cells_by_q = _probe_cells(q_rows, cent_rows, nprobe)
     all_cells = sorted({c for cs in cells_by_q.values() for c in cs})
     pruned = codes.filter(F.col("cell").isin(all_cells))
-    return _pq_adc_scan(pruned, books, q_rows, k, cells_by_q=cells_by_q)
+    if isinstance(tombstones, str) and tombstones == "auto":
+        from cer_for_mti_spark.operators.index_build import load_tombstones
+
+        tombstones = load_tombstones(spark, path)
+    return _pq_adc_scan(pruned, books, q_rows, k, cells_by_q=cells_by_q,
+                        tomb=tombstones)
+
+
+def compact_ann_index(spark, path: str) -> int:
+    """Physically purge tombstoned vectors (index_build.delete_docs on
+    an ANN index) from the codes — and, when present, vectors — layers:
+    each layer is rewritten without the deleted ids through the same
+    staged two-rename swap the posting compactors use (crashes repaired
+    by repair_interrupted_compaction on every reader/append entry), the
+    cell partitioning is preserved, and the tombstone sidecar clears
+    LAST so every crash window stays consistent (masking an
+    already-purged id is a no-op). The trained centroids/codebooks are
+    untouched — deletes do not drift the quantizers, so ann_meta's
+    n_base (the drift-guard denominator) keeps its meaning. Returns the
+    number of vectors purged."""
+    import shutil as _shutil
+
+    from cer_for_mti_spark.operators import index_build as ib_mod
+
+    for rel in ("codes", "vectors"):
+        ib_mod.repair_interrupted_compaction(path, rel)
+    inflight = ib_mod._find_inflight_batch(path)
+    if inflight is not None:
+        raise ValueError(
+            f"compact_ann_index: batch {inflight!r} is staged but not "
+            f"fully committed at {path}; resume it first."
+        )
+    tomb = ib_mod.read_tombstones(spark, path)
+    n_tomb = tomb.count()
+    if not n_tomb:
+        return 0
+    tomb_ids = F.broadcast(tomb.select(F.col("doc_id").alias("id")))
+    staging_root = f"{path}/.compact_staging"
+    for rel in ("codes", "vectors"):
+        final = f"{path}/{rel}"
+        if not os.path.isdir(final):
+            continue
+        df = spark.read.option("basePath", final).parquet(final)
+        kept = df.join(tomb_ids, "id", "left_anti")
+        n_cells = df.select("cell").distinct().count()
+        _shutil.rmtree(staging_root, ignore_errors=True)
+        kept.repartition(max(1, n_cells), "cell").write.mode(
+            "overwrite").partitionBy("cell").parquet(f"{staging_root}/{rel}")
+        trash = f"{path}/.{rel}_old"
+        _shutil.rmtree(trash, ignore_errors=True)
+        os.rename(final, trash)
+        os.rename(f"{staging_root}/{rel}", final)
+        _shutil.rmtree(trash)
+        _shutil.rmtree(staging_root, ignore_errors=True)
+    _shutil.rmtree(f"{path}/tombstones", ignore_errors=True)
+    return int(n_tomb)
 
 
 def append_ann_index(spark, path: str, new_emb: DataFrame,

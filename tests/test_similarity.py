@@ -459,3 +459,66 @@ def test_ann_append_drift_guard(spark, tmp_path):
     top = similarity.ivf_topk_from_index(spark, idx2, qs, k=1, nprobe=2)
     r1 = {r.q_id: r.vec_id for r in top.collect()}
     assert len(r1) == 8 and all(q == v for q, v in r1.items())
+
+
+def test_ann_vector_deletes(spark, tmp_path):
+    """Vector deletes on an ANN index: index_build.delete_docs works
+    unchanged (membership = codes ids), both query layers drop the
+    tombstoned vectors BEFORE their top-k cuts (ADC mask inside the
+    scan, exact-layer anti-join), and compact_ann_index purges them
+    physically from codes + vectors and clears the sidecar."""
+    from cer_for_mti_spark.operators import index_build as ib
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").cache()
+    base = emb.filter(F.col("vec_id") < 400)
+    idx = str(tmp_path / "ann_del")
+    similarity.write_ann_index(base, idx, n_centroids=8, m=8, ks=16,
+                               store_vectors=True)
+    qs = base.filter(F.col("vec_id") % 61 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+
+    # before deletes: self-match at rank 1 on both layers
+    adc1 = {r.q_id: r.vec_id for r in similarity.ann_topk_from_index(
+        spark, idx, qs, k=1, nprobe=2).filter("rank = 1").collect()}
+    exact1 = {r.q_id: r.vec_id for r in similarity.ivf_topk_from_index(
+        spark, idx, qs, k=1, nprobe=2).filter("rank = 1").collect()}
+    assert all(q == v for q, v in exact1.items()) and len(exact1) > 2
+
+    # tombstone the query vectors themselves: self can no longer match
+    victims = sorted(exact1)
+    n = ib.delete_docs(spark, idx, spark.createDataFrame(
+        [(int(v),) for v in victims], "doc_id long"))
+    assert n == len(victims)
+    # unknown ids are membership-filtered even on ANN (codes ids)
+    assert ib.delete_docs(spark, idx, spark.createDataFrame(
+        [(999_999,)], "doc_id long")) == 0
+
+    adc2 = similarity.ann_topk_from_index(spark, idx, qs, k=3,
+                                          nprobe=2).collect()
+    exact2 = similarity.ivf_topk_from_index(spark, idx, qs, k=3,
+                                            nprobe=2).collect()
+    assert not {r.vec_id for r in adc2} & set(victims)
+    assert not {r.vec_id for r in exact2} & set(victims)
+    assert adc2 and exact2  # still k results per query from survivors
+
+    # physical purge: ids gone from both layers, sidecar cleared,
+    # query results unchanged vs the masked ones
+    import os as _os
+
+    key_a = sorted((r.q_id, r.vec_id, r.rank) for r in adc2)
+    key_e = sorted((r.q_id, r.vec_id, r.rank) for r in exact2)
+    assert similarity.compact_ann_index(spark, idx) == len(victims)
+    assert not _os.path.isdir(f"{idx}/tombstones")
+    codes_df, _, _ = similarity.read_ann_index(spark, idx)
+    assert codes_df.count() == 400 - len(victims)
+    assert not {r.id for r in codes_df.select("id").collect()} & set(victims)
+    assert spark.read.option("basePath", f"{idx}/vectors").parquet(
+        f"{idx}/vectors").count() == 400 - len(victims)
+    adc3 = similarity.ann_topk_from_index(spark, idx, qs, k=3,
+                                          nprobe=2).collect()
+    exact3 = similarity.ivf_topk_from_index(spark, idx, qs, k=3,
+                                            nprobe=2).collect()
+    assert sorted((r.q_id, r.vec_id, r.rank) for r in adc3) == key_a
+    assert sorted((r.q_id, r.vec_id, r.rank) for r in exact3) == key_e
+    assert similarity.compact_ann_index(spark, idx) == 0  # idempotent

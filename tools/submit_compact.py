@@ -15,7 +15,9 @@ merge-free appends accumulate back to exactly one run per (term, bucket)
 for BM25 at the frozen bake avgdl, which `runs` reads from the index's
 own doc_stats). merged: index_build.compact_index — streamed doc_terms
 deltas merged into the merged-postings layout (auto-upgrades to a
-stats-refresh rebuild past the drift threshold). Prints one JSON line.
+stats-refresh rebuild past the drift threshold). ann: purge tombstoned vectors
+(index_build.delete_docs on an ANN index) from the codes/vectors layers.
+Prints one JSON line.
 """
 
 from __future__ import annotations
@@ -34,6 +36,8 @@ def main() -> None:
     p = sub.add_parser("positional")
     p.add_argument("--index", required=True)
     p.add_argument("--shards", type=int, default=32)
+    a = sub.add_parser("ann")
+    a.add_argument("--index", required=True)
     m = sub.add_parser("merged")
     m.add_argument("--index", required=True)
     m.add_argument("--delta", required=True)
@@ -66,6 +70,11 @@ def main() -> None:
                                                    num_shards=args.shards)
         out = {"index": args.index, "runs_before": before,
                "runs_after": after}
+    elif args.cmd == "ann":
+        from cer_for_mti_spark.operators import similarity
+
+        n = similarity.compact_ann_index(spark, args.index)
+        out = {"index": args.index, "vectors_purged": int(n)}
     else:
         n, avgdl = ib.compact_index(
             spark, args.index, args.delta, args.output,
