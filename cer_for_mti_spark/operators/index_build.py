@@ -1341,8 +1341,8 @@ def append_positional_runs_index(spark, index_path: str,
                 fail_after=fail_after)
             if _find_inflight_batch(index_path) is not None:
                 return 0  # the resume itself aborted (fail_after hook)
-            committed = spark.read.parquet(
-                f"{index_path}/docs").select("doc_id")
+            committed = read_index_rel(
+                spark, index_path, "docs").select("doc_id")
             novel = new_docs.select("doc_id").distinct().join(
                 committed, "doc_id", "left_anti").count()
             if not novel:
@@ -1368,7 +1368,7 @@ def append_positional_runs_index(spark, index_path: str,
                 "write_positional_runs_index(..., docs=<the indexed "
                 "docs>) so appends can enforce doc_id disjointness."
             )
-        old_ids = spark.read.parquet(docs_dir).select("doc_id")
+        old_ids = read_index_rel(spark, index_path, "docs").select("doc_id")
         delta = new_docs.select("doc_id").distinct()
         n_overlap = delta.join(old_ids, "doc_id", "left_semi").count()
         if n_overlap:
@@ -1506,10 +1506,9 @@ def _index_member_ids(spark, index_path: str) -> DataFrame | None:
         if os.path.isdir(d):
             return read_index_rel(spark, index_path, rel).select("doc_id")
     if os.path.isdir(f"{index_path}/codes"):
-        return spark.read.option(
-            "basePath", f"{index_path}/codes"
-        ).parquet(f"{index_path}/codes").select(
-            F.col("id").alias("doc_id"))
+        return read_index_rel(
+            spark, index_path, "codes", with_base_path=True
+        ).select(F.col("id").alias("doc_id"))
     return None
 
 

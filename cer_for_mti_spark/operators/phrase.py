@@ -632,7 +632,8 @@ def phrase_search_sharded(phrases: DataFrame, pos_runs: DataFrame,
 
 def write_positional_runs_index(pos_runs: DataFrame, path: str,
                                 num_shards: int = 32,
-                                docs: DataFrame | None = None) -> None:
+                                docs: DataFrame | None = None,
+                                commit_mode: str = "rename") -> None:
     """Persist the RUN-level positional index hash-sharded on term (same
     layout contract as index_build.write_runs_index): shard dirs prune at
     planning time, term predicates push into row groups, and the bucket
@@ -644,8 +645,18 @@ def write_positional_runs_index(pos_runs: DataFrame, path: str,
     index_build.append_positional_runs_index REQUIRES it to enforce
     doc_id disjointness (a re-ingested doc would silently double-count
     phrase n_matches). Omitting it produces a query-only index that
-    refuses appends."""
+    refuses appends.
+
+    commit_mode="manifest" makes the index object-store-safe exactly
+    like index_build.write_runs_index: base manifests are written for
+    every relation, subsequent appends/deletes commit by copy +
+    manifest (the shared _commit_append_units auto-detects the mode),
+    and readers list files from the committed manifests only."""
     from cer_for_mti_spark.functions.hashing import md5_60
+    from cer_for_mti_spark.operators.index_build import (
+        _list_data_files,
+        _manifest_write,
+    )
 
     sharded = pos_runs.withColumn(
         "shard", F.pmod(md5_60(F.col("term")), F.lit(num_shards)).cast("int")
@@ -657,6 +668,14 @@ def write_positional_runs_index(pos_runs: DataFrame, path: str,
         docs.select("doc_id").distinct().write.mode("overwrite").parquet(
             f"{path}/docs"
         )
+    if commit_mode == "manifest":
+        _manifest_write(path, "base-positional_runs",
+                        _list_data_files(path, "positional_runs"))
+        if docs is not None:
+            _manifest_write(path, "base-docs",
+                            _list_data_files(path, "docs"))
+    elif commit_mode != "rename":
+        raise ValueError(f"unknown commit_mode {commit_mode!r}")
 
 
 def _drop_tombstoned_hits(spark, index_path: str, hits: DataFrame,
@@ -698,14 +717,13 @@ def phrase_search_sharded_from_index(spark, index_path: str,
     shards = sorted({md5_60_py(t) % num_shards for t in terms})
     if base_df is None:
         from cer_for_mti_spark.operators.index_build import (
+            read_index_rel,
             repair_interrupted_compaction,
         )
 
         repair_interrupted_compaction(index_path, "positional_runs")
-    df = base_df if base_df is not None else (
-        spark.read.option("basePath", f"{index_path}/positional_runs").parquet(
-            f"{index_path}/positional_runs"
-        )
+    df = base_df if base_df is not None else read_index_rel(
+        spark, index_path, "positional_runs", with_base_path=True
     )
     pruned = df.filter(
         F.col("shard").isin(shards) & F.col("term").isin(sorted(terms))
@@ -753,9 +771,11 @@ def compact_positional_runs(spark, index_path: str,
             if purge_tombstones else None)
     tomb_bc = (spark.sparkContext.broadcast(tomb)
                if tomb is not None else None)
-    runs = spark.read.option(
-        "basePath", f"{index_path}/positional_runs"
-    ).parquet(f"{index_path}/positional_runs")
+    from cer_for_mti_spark.operators.index_build import read_index_rel
+
+    # manifest-aware: compact only what the manifests commit
+    runs = read_index_rel(spark, index_path, "positional_runs",
+                          with_base_path=True)
     n_before = runs.count()
 
     @F.pandas_udf("first_id long, last_id long, df long, doc_ids binary, "
@@ -824,6 +844,25 @@ def compact_positional_runs(spark, index_path: str,
             _purge_membership_sidecar(spark, index_path, "docs")
         else:  # query-only index (no docs sidecar): just clear the marks
             shutil.rmtree(f"{index_path}/tombstones", ignore_errors=True)
+    from cer_for_mti_spark.operators.index_build import (
+        MANIFEST_DIR,
+        _index_commit_mode,
+        _list_data_files,
+        _manifest_write,
+    )
+
+    if _index_commit_mode(index_path) == "manifest":
+        # offline rename-based maintenance on a manifest-mode index:
+        # regenerate the manifests to point at the compacted files
+        shutil.rmtree(f"{index_path}/{MANIFEST_DIR}", ignore_errors=True)
+        _manifest_write(index_path, "base-positional_runs",
+                        _list_data_files(index_path, "positional_runs"))
+        if os.path.isdir(f"{index_path}/docs"):
+            _manifest_write(index_path, "base-docs",
+                            _list_data_files(index_path, "docs"))
+        if os.path.isdir(f"{index_path}/tombstones"):
+            _manifest_write(index_path, "base-tombstones",
+                            _list_data_files(index_path, "tombstones"))
     return int(n_before), int(n_after)
 
 

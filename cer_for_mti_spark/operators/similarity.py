@@ -526,7 +526,8 @@ def write_ann_index(emb: DataFrame, path: str, n_centroids: int = 16,
                     kmeans_iter: int = 5, pq_iter: int = 8,
                     store_vectors: bool = False,
                     id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> None:
+                    vec_col: str = "embedding",
+                    commit_mode: str = "rename") -> None:
     """Persist the IVF-PQ index: PQ codes partitioned BY CELL (so a
     query's probe list becomes genuine partition pruning at read time —
     the ANN analogue of the postings shard layout), plus the trained
@@ -544,7 +545,13 @@ def write_ann_index(emb: DataFrame, path: str, n_centroids: int = 16,
     bytes/vector instead of m, but ivf_topk_from_index then scores true
     cosine inside the probed cells (IVF-Flat). At 10^12 vectors you
     usually keep only codes; the vectors layer is the quality knob for
-    corpora that fit dim*8 bytes each."""
+    corpora that fit dim*8 bytes each.
+
+    commit_mode="manifest" makes the index object-store-safe exactly
+    like index_build.write_runs_index: base manifests are written for
+    every relation, appends/deletes commit by copy + manifest (the
+    shared _commit_append_units auto-detects the mode), and readers
+    list files from the committed manifests only."""
     cents = kmeans_centroids(emb, n_centroids=n_centroids,
                              n_iter=kmeans_iter, id_col=id_col,
                              vec_col=vec_col)
@@ -575,6 +582,19 @@ def write_ann_index(emb: DataFrame, path: str, n_centroids: int = 16,
         book_rows, "j int, c int, vec array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
     _write_ann_meta(path, n_base=emb.count())
+    if commit_mode == "manifest":
+        from cer_for_mti_spark.operators.index_build import (
+            _list_data_files,
+            _manifest_write,
+        )
+
+        rels = ["codes", "centroids", "codebooks"]
+        if store_vectors:
+            rels.append("vectors")
+        for rel in rels:
+            _manifest_write(path, f"base-{rel}", _list_data_files(path, rel))
+    elif commit_mode != "rename":
+        raise ValueError(f"unknown commit_mode {commit_mode!r}")
 
 
 ANN_META_FILE = "ann_meta.json"
@@ -608,9 +628,15 @@ def _check_no_inflight_append(path: str, reader: str) -> None:
     layers disagree on membership, so a query would silently return
     stale results from whichever layer is behind. The BM25 appends make
     the torn window safe by committing doc_stats last; the ANN layers
-    have no such ordering invariant, so readers refuse instead."""
+    have no such ordering invariant, so readers refuse instead.
+
+    Also rolls forward/back a compact_ann_index two-rename crash first
+    (repair_interrupted_compaction on both cell layers) — same reader-
+    entry contract as the posting-index readers."""
     from cer_for_mti_spark.operators import index_build as ib_mod
 
+    for rel in ("codes", "vectors"):
+        ib_mod.repair_interrupted_compaction(path, rel)
     inflight = ib_mod._find_inflight_batch(path)
     if inflight is not None:
         raise ValueError(
@@ -625,14 +651,14 @@ def read_ann_index(spark, path: str):
     """-> (codes DF with cell partition column, centroid rows, codebooks
     ndarray). Open the codes DF once and pass it to repeated
     ann_topk_from_index calls: pruning is planning-time."""
+    from cer_for_mti_spark.operators.index_build import read_index_rel
+
     _check_no_inflight_append(path, "read_ann_index")
-    codes = spark.read.option("basePath", f"{path}/codes").parquet(
-        f"{path}/codes"
-    )
-    cent_rows = spark.read.parquet(f"{path}/centroids").select(
+    codes = read_index_rel(spark, path, "codes", with_base_path=True)
+    cent_rows = read_index_rel(spark, path, "centroids").select(
         "c_id", _as_double("c_vec").alias("cv")
     ).collect()
-    brows = spark.read.parquet(f"{path}/codebooks").collect()
+    brows = read_index_rel(spark, path, "codebooks").collect()
     mm = max(r["j"] for r in brows) + 1
     kk = max(r["c"] for r in brows) + 1
     dsub = len(brows[0]["vec"])
@@ -651,10 +677,10 @@ def ivf_topk_from_index(spark, path: str, queries: DataFrame, k: int = 5,
     filter (partition pruning), true cosine inside the probed cells
     only, per-query own-cell restriction via the broadcast qcells join.
     Output matches ivf_topk given the same centroids."""
+    from cer_for_mti_spark.operators.index_build import read_index_rel
+
     _check_no_inflight_append(path, "ivf_topk_from_index")
-    vectors = spark.read.option("basePath", f"{path}/vectors").parquet(
-        f"{path}/vectors"
-    )
+    vectors = read_index_rel(spark, path, "vectors", with_base_path=True)
     if isinstance(tombstones, str) and tombstones == "auto":
         from cer_for_mti_spark.operators.index_build import load_tombstones
 
@@ -665,7 +691,7 @@ def ivf_topk_from_index(spark, path: str, queries: DataFrame, k: int = 5,
         tomb_df = spark.createDataFrame(
             [(int(i),) for i in tombstones], "id long")
         vectors = vectors.join(F.broadcast(tomb_df), "id", "left_anti")
-    cent_rows = spark.read.parquet(f"{path}/centroids").select(
+    cent_rows = read_index_rel(spark, path, "centroids").select(
         "c_id", _as_double("c_vec").alias("cv")
     ).collect()
     q_rows = queries.select(
@@ -761,7 +787,8 @@ def compact_ann_index(spark, path: str) -> int:
         final = f"{path}/{rel}"
         if not os.path.isdir(final):
             continue
-        df = spark.read.option("basePath", final).parquet(final)
+        # manifest-aware: compact only what the manifests commit
+        df = ib_mod.read_index_rel(spark, path, rel, with_base_path=True)
         kept = df.join(tomb_ids, "id", "left_anti")
         n_cells = df.select("cell").distinct().count()
         _shutil.rmtree(staging_root, ignore_errors=True)
@@ -774,6 +801,14 @@ def compact_ann_index(spark, path: str) -> int:
         _shutil.rmtree(trash)
         _shutil.rmtree(staging_root, ignore_errors=True)
     _shutil.rmtree(f"{path}/tombstones", ignore_errors=True)
+    if ib_mod._index_commit_mode(path) == "manifest":
+        # offline rename-based maintenance on a manifest-mode index:
+        # regenerate the manifests to point at the compacted files
+        _shutil.rmtree(f"{path}/{ib_mod.MANIFEST_DIR}", ignore_errors=True)
+        for rel in ("codes", "vectors", "centroids", "codebooks"):
+            if os.path.isdir(f"{path}/{rel}"):
+                ib_mod._manifest_write(path, f"base-{rel}",
+                                       ib_mod._list_data_files(path, rel))
     return int(n_tomb)
 
 
@@ -822,9 +857,8 @@ def append_ann_index(spark, path: str, new_emb: DataFrame,
                 fail_after=fail_after)
             if ib_mod._find_inflight_batch(path) is not None:
                 return 0  # the resume itself aborted (fail_after hook)
-            committed = spark.read.option(
-                "basePath", f"{path}/codes"
-            ).parquet(f"{path}/codes").select("id")
+            committed = ib_mod.read_index_rel(
+                spark, path, "codes", with_base_path=True).select("id")
             novel = new_emb.select(
                 F.col(id_col).cast("long").alias("id")
             ).distinct().join(committed, "id", "left_anti").count()
@@ -842,9 +876,8 @@ def append_ann_index(spark, path: str, new_emb: DataFrame,
         return 0
 
     if stage is None or not os.path.exists(f"{stage}/_STAGED"):
-        codes = spark.read.option("basePath", f"{path}/codes").parquet(
-            f"{path}/codes"
-        )
+        codes = ib_mod.read_index_rel(spark, path, "codes",
+                                      with_base_path=True)
         old_ids = codes.select("id")
         delta_ids = new_emb.select(
             F.col(id_col).cast("long").alias("id")
@@ -887,9 +920,9 @@ def append_ann_index(spark, path: str, new_emb: DataFrame,
                     "full corpus (or pass drift_threshold=None to "
                     "override)."
                 )
-        cents = spark.read.parquet(f"{path}/centroids")
+        cents = ib_mod.read_index_rel(spark, path, "centroids")
         n_cells = cents.count()
-        brows = spark.read.parquet(f"{path}/codebooks").collect()
+        brows = ib_mod.read_index_rel(spark, path, "codebooks").collect()
         mm = max(r["j"] for r in brows) + 1
         kk = max(r["c"] for r in brows) + 1
         books = np.empty((mm, kk, len(brows[0]["vec"])))

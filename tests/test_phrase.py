@@ -466,3 +466,93 @@ def test_match_slop_property_pure():
                            for _, r in adj.iterrows()}
 
     check()
+
+
+def test_positional_manifest_commit_mode(spark, webtext, tmp_path):
+    """Object-store-safe positional index: commit_mode="manifest" writes
+    base manifests, appends commit by copy + manifest via the shared
+    protocol, readers list committed files only (a planted torn object
+    and a killed batch's unmanifested units are invisible), and the
+    resumed index is content-identical to a rename-mode twin. Deletes
+    and compaction keep working; compaction regenerates the manifests."""
+    import os as _os
+
+    from cer_for_mti_spark.operators import index_build as ib
+    from pyspark.sql import functions as F2
+
+    old = webtext.filter(F2.col("doc_id") < 200)
+    new = webtext.filter(F2.col("doc_id") >= 200)
+    runs0 = ph.build_positional_runs(old, salt=8, n_docs=300)
+    idx_m = str(tmp_path / "pos_manifest")
+    idx_r = str(tmp_path / "pos_rename")
+    ph.write_positional_runs_index(runs0, idx_m, num_shards=4, docs=old,
+                                   commit_mode="manifest")
+    ph.write_positional_runs_index(runs0, idx_r, num_shards=4, docs=old)
+    assert ib._index_commit_mode(idx_m) == "manifest"
+    assert ib._index_commit_mode(idx_r) == "rename"
+
+    qs = spark.createDataFrame([(0, "the the"), (1, "of the")],
+                               "query_id int, query string")
+
+    def hits(idx):
+        return {(r.phrase_id, r.doc_id, r.n_matches)
+                for r in ph.phrase_search_sharded_from_index(
+                    spark, idx, qs, num_shards=4).collect()}
+
+    base_hits = hits(idx_m)
+    assert base_hits == hits(idx_r) and base_hits
+
+    # kill after 1 unit commit + plant a torn uncommitted object: both
+    # must be invisible to the manifest-aware reader
+    ib.append_positional_runs_index(spark, idx_m, new, salt=8, n_docs=300,
+                                    num_shards=4, fail_after=1)
+    shard_dirs = sorted(
+        d for d in _os.listdir(f"{idx_m}/positional_runs")
+        if d.startswith("shard="))
+    torn = f"{idx_m}/positional_runs/{shard_dirs[0]}/b0000-torn.parquet"
+    with open(torn, "wb") as f:
+        f.write(b"\x00garbage not parquet")
+    assert hits(idx_m) == base_hits  # still serves the pre-append index
+    assert ib.read_index_rel(spark, idx_m, "docs").count() == 200
+    _os.remove(torn)
+
+    # resume; content must equal the rename-mode append
+    ib.append_positional_runs_index(spark, idx_m, new, salt=8, n_docs=300,
+                                    num_shards=4)
+    ib.append_positional_runs_index(spark, idx_r, new, salt=8, n_docs=300,
+                                    num_shards=4)
+
+    def content(idx):
+        runs = ib.read_index_rel(spark, idx, "positional_runs",
+                                 with_base_path=True)
+        rows = {}
+        for r in runs.collect():
+            ids, tfs, _s, _e, pos = ph._decode_positional(r)
+            rows.setdefault((r["shard"], r["term"], r["bucket"]), []).append(
+                (ids.tolist(), tfs.tolist(), pos.tolist()))
+        for v in rows.values():
+            v.sort()
+        docs = sorted(r.doc_id for r in
+                      ib.read_index_rel(spark, idx, "docs").collect())
+        return rows, docs
+
+    assert content(idx_m) == content(idx_r)
+    assert hits(idx_m) == hits(idx_r)
+
+    # deletes ride the same commit path; compaction purges and
+    # regenerates the base manifests
+    victims = sorted({d for _, d, _ in hits(idx_m)})[:2]
+    assert victims
+    assert ib.delete_docs(spark, idx_m, spark.createDataFrame(
+        [(int(v),) for v in victims], "doc_id long")) == len(victims)
+    masked = hits(idx_m)
+    assert not {d for _, d, _ in masked} & set(victims)
+    ph.compact_positional_runs(spark, idx_m, num_shards=4)
+    assert not _os.path.isdir(f"{idx_m}/tombstones")
+    assert ib._index_commit_mode(idx_m) == "manifest"
+    manifests = _os.listdir(f"{idx_m}/{ib.MANIFEST_DIR}")
+    assert sorted(manifests) == ["base-docs.json",
+                                 "base-positional_runs.json"]
+    assert hits(idx_m) == masked
+    assert ib.read_index_rel(spark, idx_m, "docs").count() == \
+        300 - len(victims)

@@ -522,3 +522,91 @@ def test_ann_vector_deletes(spark, tmp_path):
     assert sorted((r.q_id, r.vec_id, r.rank) for r in adc3) == key_a
     assert sorted((r.q_id, r.vec_id, r.rank) for r in exact3) == key_e
     assert similarity.compact_ann_index(spark, idx) == 0  # idempotent
+
+
+def test_ann_manifest_commit_mode(spark, tmp_path):
+    """Object-store-safe ANN index: commit_mode="manifest" writes base
+    manifests for every layer, appends commit by copy + manifest via the
+    shared protocol, readers list committed files only (a planted torn
+    object is invisible forever — no cleanup needed), a killed batch
+    makes readers raise (torn-membership contract), and the resumed
+    index is content-identical to a rename-mode twin. Vector deletes +
+    compact_ann_index keep working; compaction regenerates manifests."""
+    import os as _os
+
+    from cer_for_mti_spark.operators import index_build as ib
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").cache()
+    base = emb.filter(F.col("vec_id") < 300)
+    delta = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 360))
+    idx_m = str(tmp_path / "ann_manifest")
+    idx_r = str(tmp_path / "ann_rename")
+    similarity.write_ann_index(base, idx_m, n_centroids=8, m=8, ks=16,
+                               store_vectors=True, commit_mode="manifest")
+    similarity.write_ann_index(base, idx_r, n_centroids=8, m=8, ks=16,
+                               store_vectors=True)
+    assert ib._index_commit_mode(idx_m) == "manifest"
+    assert ib._index_commit_mode(idx_r) == "rename"
+
+    qs = base.filter(F.col("vec_id") % 53 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+
+    def adc(idx, k=3):
+        return sorted((r.q_id, r.vec_id, r.rank)
+                      for r in similarity.ann_topk_from_index(
+                          spark, idx, qs, k=k, nprobe=2).collect())
+
+    def exact(idx, k=3):
+        return sorted((r.q_id, r.vec_id, r.rank)
+                      for r in similarity.ivf_topk_from_index(
+                          spark, idx, qs, k=k, nprobe=2).collect())
+
+    assert adc(idx_m) == adc(idx_r)
+    assert exact(idx_m) == exact(idx_r)
+
+    # kill after 1 unit commit: readers must refuse the torn membership
+    similarity.append_ann_index(spark, idx_m, delta, fail_after=1)
+    with pytest.raises(ValueError, match="staged but not fully"):
+        adc(idx_m)
+    # plant a torn uncommitted object; in manifest mode it can stay
+    # forever — committed manifests never list it
+    cell_dirs = sorted(d for d in _os.listdir(f"{idx_m}/codes")
+                       if d.startswith("cell="))
+    torn = f"{idx_m}/codes/{cell_dirs[0]}/b0000-torn.parquet"
+    with open(torn, "wb") as f:
+        f.write(b"\x00garbage not parquet")
+
+    similarity.append_ann_index(spark, idx_m, delta)  # resume
+    similarity.append_ann_index(spark, idx_r, delta)
+    assert _os.path.exists(torn)  # still there, still invisible
+    assert adc(idx_m) == adc(idx_r)
+    assert exact(idx_m) == exact(idx_r)
+
+    def codes_content(idx):
+        rows = ib.read_index_rel(spark, idx, "codes",
+                                 with_base_path=True).collect()
+        return sorted((r.cell, r.id, bytes(r.codes)) for r in rows)
+
+    assert codes_content(idx_m) == codes_content(idx_r)
+
+    # vector deletes + physical purge in manifest mode; compaction
+    # regenerates the base manifests (the torn object, living in a
+    # wholesale-replaced dir, is gone with it)
+    victims = sorted({v for _, v, r in exact(idx_m) if r == 1})[:3]
+    assert ib.delete_docs(spark, idx_m, spark.createDataFrame(
+        [(int(v),) for v in victims], "doc_id long")) == len(victims)
+    masked_a, masked_e = adc(idx_m, k=3), exact(idx_m, k=3)
+    assert not {v for _, v, _ in masked_a} & set(victims)
+    assert not {v for _, v, _ in masked_e} & set(victims)
+    assert similarity.compact_ann_index(spark, idx_m) == len(victims)
+    assert ib._index_commit_mode(idx_m) == "manifest"
+    assert sorted(_os.listdir(f"{idx_m}/{ib.MANIFEST_DIR}")) == [
+        "base-centroids.json", "base-codebooks.json", "base-codes.json",
+        "base-vectors.json"]
+    assert not _os.path.exists(torn)
+    assert adc(idx_m, k=3) == masked_a
+    assert exact(idx_m, k=3) == masked_e
+    assert ib.read_index_rel(
+        spark, idx_m, "codes", with_base_path=True).count() == \
+        360 - len(victims)

@@ -40,6 +40,10 @@ def main() -> None:
     b.add_argument("--store-vectors", action="store_true")
     b.add_argument("--id-col", default="vec_id")
     b.add_argument("--vec-col", default="embedding")
+    b.add_argument("--commit-mode", default="rename",
+                   choices=["rename", "manifest"],
+                   help="manifest = object-store-safe commits (copy + "
+                        "manifest; readers list committed files only)")
     a = sub.add_parser("append")
     a.add_argument("--index", required=True)
     a.add_argument("--input", required=True,
@@ -72,6 +76,7 @@ def main() -> None:
             ks=args.ks, sample_size=args.sample,
             store_vectors=args.store_vectors,
             id_col=args.id_col, vec_col=args.vec_col,
+            commit_mode=args.commit_mode,
         )
         print(json.dumps({
             "index": args.output, "n_centroids": args.centroids,

@@ -35,6 +35,11 @@ def main() -> None:
     ap.add_argument("--positional-index", action="store_true",
                     help="also write the positional runs index (for "
                          "doc-range-sharded phrase search)")
+    ap.add_argument("--commit-mode", default="rename",
+                    choices=["rename", "manifest"],
+                    help="manifest = object-store-safe commits for the "
+                         "runs/positional indexes (copy + manifest; "
+                         "readers list committed files only)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -55,7 +60,8 @@ def main() -> None:
               else ib.build_doc_terms_with_dl(docs, mode=args.mode))
         runs = ib.build_posting_runs(dt, doc_stats, avgdl, n_docs=n)
         ib.write_runs_index(runs, doc_stats, args.output + "_runs",
-                            num_shards=args.shards)
+                            num_shards=args.shards,
+                            commit_mode=args.commit_mode)
         extra["runs_index"] = args.output + "_runs"
     if args.positional_index:
         from cer_for_mti_spark.operators import phrase as ph
@@ -64,7 +70,8 @@ def main() -> None:
         # docs= writes the doc-id sidecar so the index accepts enforced
         # appends (append_positional_runs_index)
         ph.write_positional_runs_index(pos_runs, args.output + "_pos",
-                                       num_shards=args.shards, docs=docs)
+                                       num_shards=args.shards, docs=docs,
+                                       commit_mode=args.commit_mode)
         extra["positional_index"] = args.output + "_pos"
     elapsed = time.time() - t0
     print(json.dumps({
