@@ -371,7 +371,34 @@ def merge_encoded_runs(runs: list[dict], avgdl: float | None = None,
     )
 
 
-def _make_merge_runs_udf(avgdl: float, tomb_bc=None):
+def _make_merge_runs_udf(avgdl: float, tomb_bc=None, tomb_col: bool = False):
+    """Merge-runs pandas UDF. Tombstones to purge arrive either as a
+    driver broadcast of the WHOLE sorted id array (tomb_bc — fine up to
+    TOMBSTONE_MAX_IDS) or, with tomb_col=True, as a per-group sorted
+    array<long> SECOND COLUMN (the distributed purge path: ids are
+    range-joined to their doc-range bucket upstream, so no single task
+    or broadcast ever holds the full tombstone set)."""
+    if tomb_col:
+        @F.pandas_udf(MERGED_SCHEMA)
+        def merge_runs_tomb(runs_s: pd.Series,
+                            tomb_s: pd.Series) -> pd.DataFrame:
+            out = {k.name: [] for k in MERGED_SCHEMA.fields}
+            for runs, tomb_ids in zip(runs_s, tomb_s):
+                tomb = (np.asarray(list(tomb_ids), dtype=np.int64)
+                        if tomb_ids is not None and len(tomb_ids) else None)
+                df, d, t, dl, bl, bm, mi = merge_encoded_runs(
+                    list(runs), avgdl, tomb)
+                out["df"].append(df)
+                out["doc_ids"].append(d)
+                out["tfs"].append(t)
+                out["doclens"].append(dl)
+                out["block_last"].append(bl)
+                out["block_max"].append(bm)
+                out["max_impact"].append(mi)
+            return _object_df(out)
+
+        return merge_runs_tomb
+
     @F.pandas_udf(MERGED_SCHEMA)
     def merge_runs(runs_s: pd.Series) -> pd.DataFrame:
         tomb = tomb_bc.value if tomb_bc is not None else None
@@ -1553,9 +1580,35 @@ def load_tombstones(spark, index_path: str,
     return ids
 
 
+def tombstones_by_bucket(spark, index_path: str,
+                         runs: DataFrame) -> DataFrame:
+    """(bucket, tomb_ids sorted array<long>) — the DISTRIBUTED purge
+    plan: each tombstoned id is range-joined to the doc-range buckets
+    whose observed [min(first_id), max(last_id)] span contains it, then
+    grouped into one sorted array per bucket. The bucket-range relation
+    is tiny (thousands of rows) and broadcast, so the only data motion
+    is the tombstone ids themselves, shuffled once on bucket; no driver
+    collect and no full-set broadcast anywhere. Assignment is an
+    OVER-approximation when append batches used different bucket widths
+    (spans can overlap) — harmless, the per-run sorted-intersection
+    simply finds no match. Per-bucket array size is bounded by the
+    bucket's own doc count, the same bound the bucket's posting bytes
+    already obey."""
+    ranges = runs.groupBy("bucket").agg(
+        F.min("first_id").alias("_lo"), F.max("last_id").alias("_hi"))
+    tomb = read_tombstones(spark, index_path)
+    return tomb.join(
+        F.broadcast(ranges),
+        (F.col("doc_id") >= F.col("_lo")) & (F.col("doc_id") <= F.col("_hi")),
+    ).groupBy("bucket").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("tomb_ids"))
+
+
 def compact_runs_index(spark, index_path: str, avgdl: float,
                        num_shards: int = 32,
-                       purge_tombstones: bool = True) -> tuple[int, int]:
+                       purge_tombstones: bool = True,
+                       tombstone_broadcast_max: int = TOMBSTONE_MAX_IDS
+                       ) -> tuple[int, int]:
     """Fold appended batches of a BM25 RUNS index back to EXACTLY ONE run
     per (term, bucket) — the BM25 twin of phrase.compact_positional_runs.
 
@@ -1577,27 +1630,45 @@ def compact_runs_index(spark, index_path: str, avgdl: float,
     dropped, and the tombstone sidecar cleared, so queries stop paying
     the mask. This is the stats-change event of the delete lifecycle:
     N (and each affected term's df) drop, so scores legitimately move;
-    the bake avgdl stays frozen as everywhere. Tombstone sets past
-    TOMBSTONE_MAX_IDS should take the full stats-refresh rebuild path
-    instead (decode to doc_terms, anti-join, build_postings — the same
-    pricing as compact_index's rebuild_threshold upgrade).
+    the bake avgdl stays frozen as everywhere.
+
+    Tombstone sets up to tombstone_broadcast_max ride a driver
+    broadcast; LARGER sets switch to the distributed purge plan
+    (tombstones_by_bucket): ids range-join to their doc-range bucket
+    and reach each merge task as that bucket's sorted array column, so
+    arbitrarily large delete sets purge without any full-set broadcast
+    or driver materialization. Both plans produce identical bytes
+    (tested).
 
     Returns (runs_before, runs_after)."""
     repair_interrupted_compaction(index_path, "runs")
-    tomb = load_tombstones(spark, index_path) if purge_tombstones else None
-    tomb_bc = (spark.sparkContext.broadcast(tomb)
-               if tomb is not None else None)
     # manifest-aware: a manifest-mode index may hold uncommitted/torn
     # objects in the data dirs; compact only what the manifests commit
     runs = read_index_rel(spark, index_path, "runs", with_base_path=True)
+    n_tomb = (read_tombstones(spark, index_path).count()
+              if purge_tombstones else 0)
+    tomb_bc = None
+    tomb_bkt = None
+    if n_tomb and n_tomb <= tombstone_broadcast_max:
+        tomb_bc = spark.sparkContext.broadcast(
+            load_tombstones(spark, index_path))
+    elif n_tomb:
+        tomb_bkt = tombstones_by_bucket(spark, index_path, runs)
     n_before = runs.count()
-    merged = runs.groupBy("term", "bucket").agg(
+    agg = runs.groupBy("term", "bucket").agg(
         F.collect_list(F.struct(*RUN_FIELDS)).alias("runs"),
         F.min("first_id").alias("first_id"),
         F.max("last_id").alias("last_id"),
-    ).select(
+    )
+    if tomb_bkt is not None:
+        agg = agg.join(tomb_bkt, "bucket", "left")
+        merge_expr = _make_merge_runs_udf(avgdl, tomb_col=True)(
+            "runs", "tomb_ids")
+    else:
+        merge_expr = _make_merge_runs_udf(avgdl, tomb_bc)("runs")
+    merged = agg.select(
         "term", "bucket", "first_id", "last_id",
-        _make_merge_runs_udf(avgdl, tomb_bc)("runs").alias("p"),
+        merge_expr.alias("p"),
     ).select(
         "term", "bucket", "first_id", "last_id", "p.df", "p.doc_ids",
         "p.tfs", "p.doclens", "p.block_last", "p.block_max", "p.max_impact"
@@ -1620,7 +1691,7 @@ def compact_runs_index(spark, index_path: str, avgdl: float,
     os.rename(f"{staging}/runs", final)
     shutil.rmtree(trash)
     shutil.rmtree(staging, ignore_errors=True)
-    if tomb is not None:
+    if n_tomb:
         _purge_membership_sidecar(spark, index_path, "doc_stats")
     if _index_commit_mode(index_path) == "manifest":
         # compaction is offline rename-based maintenance; regenerate the

@@ -734,7 +734,8 @@ def phrase_search_sharded_from_index(spark, index_path: str,
 
 def compact_positional_runs(spark, index_path: str,
                             num_shards: int = 32,
-                            purge_tombstones: bool = True
+                            purge_tombstones: bool = True,
+                            tombstone_broadcast_max: int | None = None
                             ) -> tuple[int, int]:
     """Re-merge a positional runs index to EXACTLY ONE run per
     (term, bucket).
@@ -753,7 +754,15 @@ def compact_positional_runs(spark, index_path: str,
     a crash in the short window between them is detected and rolled
     forward by repair_interrupted_compaction (called here and by every
     reader) — run compaction offline, like the merged index's
-    compact_index. Returns (runs_before, runs_after)."""
+    compact_index.
+
+    Tombstone sets up to tombstone_broadcast_max (default
+    index_build.TOMBSTONE_MAX_IDS) ride a driver broadcast; larger sets
+    switch to the distributed purge plan (tombstones_by_bucket): ids
+    range-join to their doc-range bucket and reach each merge task as
+    that bucket's sorted array column — arbitrarily large delete sets
+    purge with no full-set broadcast. Both plans are byte-identical
+    (tested). Returns (runs_before, runs_after)."""
     from cer_for_mti_spark.functions.hashing import md5_60
     from cer_for_mti_spark.operators.index_build import (
         repair_interrupted_compaction,
@@ -767,24 +776,44 @@ def compact_positional_runs(spark, index_path: str,
         load_tombstones,
     )
 
-    tomb = (load_tombstones(spark, index_path)
-            if purge_tombstones else None)
-    tomb_bc = (spark.sparkContext.broadcast(tomb)
-               if tomb is not None else None)
-    from cer_for_mti_spark.operators.index_build import read_index_rel
+    from cer_for_mti_spark.operators.index_build import (
+        TOMBSTONE_MAX_IDS,
+        read_index_rel,
+        read_tombstones,
+        tombstones_by_bucket,
+    )
 
+    if tombstone_broadcast_max is None:
+        tombstone_broadcast_max = TOMBSTONE_MAX_IDS
     # manifest-aware: compact only what the manifests commit
     runs = read_index_rel(spark, index_path, "positional_runs",
                           with_base_path=True)
+    n_tomb = (read_tombstones(spark, index_path).count()
+              if purge_tombstones else 0)
+    tomb_bc = None
+    tomb_bkt = None
+    if n_tomb and n_tomb <= tombstone_broadcast_max:
+        tomb_bc = spark.sparkContext.broadcast(
+            load_tombstones(spark, index_path))
+    elif n_tomb:
+        # distributed purge plan — same shape as the BM25 compactor's:
+        # ids range-join to their doc-range bucket, each merge task sees
+        # only its bucket's sorted array (no full-set broadcast)
+        tomb_bkt = tombstones_by_bucket(spark, index_path, runs)
     n_before = runs.count()
 
     @F.pandas_udf("first_id long, last_id long, df long, doc_ids binary, "
                   "tfs binary, positions binary")
-    def merge(runs_s: pd.Series) -> pd.DataFrame:
-        tomb_a = tomb_bc.value if tomb_bc is not None else None
+    def merge(runs_s: pd.Series, tomb_s: pd.Series) -> pd.DataFrame:
         out = {"first_id": [], "last_id": [], "df": [], "doc_ids": [],
                "tfs": [], "positions": []}
-        for rows in runs_s:
+        for rows, tomb_ids in zip(runs_s, tomb_s):
+            if tomb_bc is not None:
+                tomb_a = tomb_bc.value
+            elif tomb_ids is not None and len(tomb_ids):
+                tomb_a = np.asarray(list(tomb_ids), dtype=np.int64)
+            else:
+                tomb_a = None
             ids, tfs, starts, ends, pos = _decode_rows_merged(list(rows))
             if tomb_a is not None and len(ids):
                 # physical purge: drop tombstoned docs' position groups
@@ -815,11 +844,18 @@ def compact_positional_runs(spark, index_path: str,
             out["positions"].append(p)
         return _object_df(out)
 
-    merged = runs.groupBy("term", "bucket").agg(
+    agg = runs.groupBy("term", "bucket").agg(
         F.collect_list(F.struct(
             "first_id", "last_id", "df", "doc_ids", "tfs", "positions"
         )).alias("runs")
-    ).select("term", "bucket", merge("runs").alias("p")).select(
+    )
+    if tomb_bkt is not None:
+        agg = agg.join(tomb_bkt, "bucket", "left")
+    else:
+        agg = agg.withColumn("tomb_ids",
+                             F.lit(None).cast("array<long>"))
+    merged = agg.select(
+        "term", "bucket", merge("runs", "tomb_ids").alias("p")).select(
         "term", "bucket", "p.first_id", "p.last_id", "p.df",
         "p.doc_ids", "p.tfs", "p.positions"
     ).filter(F.col("df") > 0)
@@ -839,7 +875,7 @@ def compact_positional_runs(spark, index_path: str,
     os.rename(f"{staging}/positional_runs", final)
     shutil.rmtree(trash)
     shutil.rmtree(staging, ignore_errors=True)
-    if tomb is not None:
+    if n_tomb:
         if os.path.isdir(f"{index_path}/docs"):
             _purge_membership_sidecar(spark, index_path, "docs")
         else:  # query-only index (no docs sidecar): just clear the marks

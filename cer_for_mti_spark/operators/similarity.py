@@ -781,7 +781,12 @@ def compact_ann_index(spark, path: str) -> int:
     n_tomb = tomb.count()
     if not n_tomb:
         return 0
-    tomb_ids = F.broadcast(tomb.select(F.col("doc_id").alias("id")))
+    # the purge itself is a plain anti-join, so it scales past the
+    # query-time masking bound: broadcast only small delete sets, let a
+    # shuffled anti-join handle arbitrarily large ones
+    tomb_ids = tomb.select(F.col("doc_id").alias("id"))
+    if n_tomb <= ib_mod.TOMBSTONE_MAX_IDS:
+        tomb_ids = F.broadcast(tomb_ids)
     staging_root = f"{path}/.compact_staging"
     for rel in ("codes", "vectors"):
         final = f"{path}/{rel}"

@@ -271,3 +271,70 @@ def test_dedup_purge_wiring(spark, tmp_path):
     got_docs = {r.doc_id for r in got}
     assert not got_docs & {12, 33, 41}
     assert 5 in got_docs and 40 in got_docs  # canonicals survive
+
+
+def test_distributed_purge_identity(spark, tmp_path):
+    """Past the broadcast bound, both compactors switch to the
+    distributed purge plan (ids range-joined to their doc-range bucket,
+    per-bucket sorted arrays as a merge-UDF column — no full-set
+    broadcast, no driver materialization). Forcing that path with
+    tombstone_broadcast_max=0 must produce byte-identical indexes to
+    the broadcast path on twin copies, for BOTH layouts, and ANN
+    compaction's non-broadcast anti-join must purge identically too."""
+    import os
+    import shutil as sh
+
+    docs, dt, ds, n, avgdl = _corpus(spark)
+    runs = ib.build_posting_runs(dt, ds, avgdl, salt=4, n_docs=n)
+    tomb_ids = np.arange(2, 120, 5, dtype=np.int64)
+    tomb_df = spark.createDataFrame([(int(i),) for i in tomb_ids],
+                                    "doc_id long")
+
+    # --- BM25 runs layout ---
+    idx_b = str(tmp_path / "bm25_bcast")
+    ib.write_runs_index(runs, ds, idx_b, num_shards=4)
+    ib.delete_docs(spark, idx_b, tomb_df)
+    idx_d = str(tmp_path / "bm25_dist")
+    sh.copytree(idx_b, idx_d)
+    ib.compact_runs_index(spark, idx_b, avgdl, num_shards=4)
+    ib.compact_runs_index(spark, idx_d, avgdl, num_shards=4,
+                          tombstone_broadcast_max=0)
+
+    def runs_content(idx):
+        return {
+            (r["term"], r["bucket"]): (
+                r["df"], bytes(r["doc_ids"]), bytes(r["tfs"]),
+                bytes(r["doclens"]), tuple(r["block_last"]),
+                tuple(r["block_max"]), r["max_impact"])
+            for r in spark.read.option("basePath", f"{idx}/runs").parquet(
+                f"{idx}/runs").collect()}
+
+    assert runs_content(idx_b) == runs_content(idx_d)
+    assert not os.path.isdir(f"{idx_d}/tombstones")
+    assert spark.read.parquet(f"{idx_d}/doc_stats").count() == \
+        120 - len(tomb_ids)
+
+    # --- positional layout ---
+    pruns = ph.build_positional_runs(docs, salt=8, n_docs=120)
+    pidx_b = str(tmp_path / "pos_bcast")
+    ph.write_positional_runs_index(pruns, pidx_b, num_shards=4, docs=docs)
+    ib.delete_docs(spark, pidx_b, tomb_df)
+    pidx_d = str(tmp_path / "pos_dist")
+    sh.copytree(pidx_b, pidx_d)
+    ph.compact_positional_runs(spark, pidx_b, num_shards=4)
+    ph.compact_positional_runs(spark, pidx_d, num_shards=4,
+                               tombstone_broadcast_max=0)
+
+    def pos_content(idx):
+        return {
+            (r["term"], r["bucket"]): (
+                r["df"], bytes(r["doc_ids"]), bytes(r["tfs"]),
+                bytes(r["positions"]))
+            for r in spark.read.option(
+                "basePath", f"{idx}/positional_runs").parquet(
+                f"{idx}/positional_runs").collect()}
+
+    assert pos_content(pidx_b) == pos_content(pidx_d)
+    assert not os.path.isdir(f"{pidx_d}/tombstones")
+    assert spark.read.parquet(f"{pidx_d}/docs").count() == \
+        120 - len(tomb_ids)
