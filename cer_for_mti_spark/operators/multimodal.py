@@ -7,11 +7,16 @@ The container has no image/audio libraries, so two tiers exist:
   (ppm_decode/ppm_encode) feeds genuine pixel features and a genuine
   nearest-neighbor resize; synthetic_media generates its image payloads
   as real PPMs so the pixel paths are tested on actual pixel values.
-- AUDIO/VIDEO (and non-PPM image formats) stay stubbed: deterministic
-  fake features derived from the bytes, or NotImplementedError in strict
-  mode — that is where PIL/torchaudio/ffmpeg would drop in. The
-  Spark-side plumbing (schema, Arrow batch iteration, partition sizing,
-  UDF signatures) is identical for both tiers.
+- VIDEOS in the PPMV container (a 2-line header + concatenated P6
+  frames — the post-decode interchange a real pipeline gets out of
+  ffmpeg) decode FOR REAL too: sample_frames maps each sampled
+  timestamp to its source frame and emits that frame's genuine pixel
+  feature; extract_features averages the per-frame features.
+- AUDIO (and non-PPM/PPMV formats) stays stubbed: deterministic fake
+  features derived from the bytes, or NotImplementedError in strict
+  mode — that is where torchaudio/ffmpeg would drop in. The Spark-side
+  plumbing (schema, Arrow batch iteration, partition sizing, UDF
+  signatures) is identical for both tiers.
 
 Scale notes: media rows are large -> repartition by size budget before
 mapInPandas (maxRecordsPerBatch keeps Arrow batches bounded); feature
@@ -57,13 +62,15 @@ def ppm_encode(pixels: np.ndarray) -> bytes:
         np.ascontiguousarray(pixels.astype(np.uint8)).tobytes()
 
 
-def ppm_decode(payload: bytes) -> np.ndarray | None:
-    """Binary PPM (P6) -> (h, w, 3) uint8, or None when the payload is
-    not a P6 image (caller falls back to the stub tier). Handles
-    whitespace + '#' comments per the netpbm spec; maxval must be 255."""
-    if not payload.startswith(b"P6"):
-        return None
-    vals, i, n = [], 2, len(payload)
+def _ppm_parse_at(payload: bytes, off: int) -> tuple[np.ndarray | None, int]:
+    """Parse one binary PPM (P6) starting at byte offset `off` ->
+    ((h, w, 3) uint8, offset past the image), or (None, off) when the
+    bytes there are not a P6 image. Handles whitespace + '#' comments
+    per the netpbm spec; maxval must be 255. Offset-aware so PPM images
+    can be CONCATENATED (the PPMV frame container below)."""
+    if payload[off:off + 2] != b"P6":
+        return None, off
+    vals, i, n = [], off + 2, len(payload)
     while len(vals) < 3 and i < n:
         c = payload[i:i + 1]
         if c == b"#":
@@ -78,17 +85,61 @@ def ppm_decode(payload: bytes) -> np.ndarray | None:
             j += 1
         tok = payload[i:j]
         if not tok.isdigit():
-            return None
+            return None, off
         vals.append(int(tok))
         i = j
     if len(vals) < 3 or vals[2] != 255:
-        return None
+        return None, off
     i += 1  # the single whitespace after maxval
     w, h = vals[0], vals[1]
     raw = payload[i:i + w * h * 3]
     if len(raw) != w * h * 3:
+        return None, off
+    px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+    return px, i + w * h * 3
+
+
+def ppm_decode(payload: bytes) -> np.ndarray | None:
+    """Binary PPM (P6) -> (h, w, 3) uint8, or None when the payload is
+    not a P6 image (caller falls back to the stub tier)."""
+    px, _ = _ppm_parse_at(payload, 0)
+    return px
+
+
+PPMV_MAGIC = b"PPMV\n"
+
+
+def ppmv_encode(frames: list[np.ndarray], frame_ms: int) -> bytes:
+    """Trivial stdlib video container: 'PPMV\\n<n_frames> <frame_ms>\\n'
+    followed by the frames as concatenated binary PPMs (each frame is
+    self-delimiting via its own header). This is the post-decode
+    interchange a real pipeline gets out of ffmpeg; it lets the frame
+    paths run on actual pixels in a container with no media libs."""
+    head = b"PPMV\n%d %d\n" % (len(frames), frame_ms)
+    return head + b"".join(ppm_encode(f) for f in frames)
+
+
+def ppmv_decode(payload: bytes) -> tuple[list[np.ndarray], int] | None:
+    """PPMV -> (frames, frame_ms), or None when the payload is not a
+    PPMV container (caller falls back to the stub tier)."""
+    if not payload.startswith(PPMV_MAGIC):
         return None
-    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+    j = payload.find(b"\n", len(PPMV_MAGIC))
+    if j < 0:
+        return None
+    parts = payload[len(PPMV_MAGIC):j].split()
+    if len(parts) != 2 or not all(p.isdigit() for p in parts):
+        return None
+    nf, frame_ms = int(parts[0]), int(parts[1])
+    if nf < 1 or frame_ms < 1:
+        return None
+    off, frames = j + 1, []
+    for _ in range(nf):
+        px, off = _ppm_parse_at(payload, off)
+        if px is None:
+            return None
+        frames.append(px)
+    return frames, frame_ms
 
 
 def _image_feature(pixels: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
@@ -127,18 +178,27 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
             feats = []
             for t, p in zip(pdf["media_type"], pdf["payload"]):
                 payload = bytes(p)
-                px = ppm_decode(payload) if t == "image" else None
-                if px is not None:
-                    feats.append(_image_feature(px).tolist())  # REAL
-                elif strict:
+                if t == "image":
+                    px = ppm_decode(payload)
+                    if px is not None:
+                        feats.append(_image_feature(px).tolist())  # REAL
+                        continue
+                elif t == "video":
+                    v = ppmv_decode(payload)
+                    if v is not None:
+                        # REAL: mean of per-frame pixel features
+                        fs = np.stack([_image_feature(f) for f in v[0]])
+                        feats.append(fs.mean(axis=0).astype(
+                            np.float32).tolist())
+                        continue
+                if strict:
                     raise NotImplementedError(
                         f"decode of {t!r} media requires "
                         "PIL/librosa/ffmpeg — not in this container "
-                        "(raw PPM images decode for real); wire the "
-                        "real decoder here"
+                        "(raw PPM images and PPMV videos decode for "
+                        "real); wire the real decoder here"
                     )
-                else:
-                    feats.append(_fake_feature(payload).tolist())
+                feats.append(_fake_feature(payload).tolist())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -152,10 +212,13 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000,
-                  max_frames: int = 8) -> DataFrame:
-    """Video frame sampling plumbing: one output row per sampled frame at
-    a fixed timestamp stride. The frame decode itself is the stub
-    (deterministic fake pixels keyed on (payload, frame_idx))."""
+                  max_frames: int = 8, strict: bool = False) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame at a fixed
+    timestamp stride. PPMV payloads decode FOR REAL — the sampled
+    timestamp maps to its source frame (min(ts // frame_ms, n-1)) and
+    the output is that frame's genuine pixel feature. Other containers
+    fall back to the deterministic stub keyed on (payload, frame_idx),
+    or raise in strict mode (the ffmpeg drop-in point)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -169,12 +232,27 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
             prefix = np.cumsum(n) - n
             frame_idx = np.arange(int(n.sum())) - np.repeat(prefix, n)
             payloads = pdf["payload"].to_numpy()
-            frames = [
-                _fake_feature(
-                    bytes(payloads[r]) + int(f).to_bytes(4, "little")
-                ).tolist()
-                for r, f in zip(row_idx, frame_idx)
-            ]
+            # decode each video payload once per row, not once per frame
+            decoded: dict[int, tuple[list, int] | None] = {}
+            frames = []
+            for r, f in zip(row_idx, frame_idx):
+                if r not in decoded:
+                    decoded[r] = ppmv_decode(bytes(payloads[r]))
+                v = decoded[r]
+                if v is not None:
+                    vf, frame_ms = v
+                    src = min(int(f) * every_ms // frame_ms, len(vf) - 1)
+                    frames.append(_image_feature(vf[src]).tolist())  # REAL
+                elif strict:
+                    raise NotImplementedError(
+                        "frame decode of this video container requires "
+                        "ffmpeg — not in this container (PPMV decodes "
+                        "for real); wire the real decoder here"
+                    )
+                else:
+                    frames.append(_fake_feature(
+                        bytes(payloads[r]) + int(f).to_bytes(4, "little")
+                    ).tolist())
             yield pd.DataFrame({
                 "media_id": pdf["media_id"].to_numpy()[row_idx],
                 "frame_idx": frame_idx.astype(np.int32),
@@ -209,6 +287,22 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                         axis=2).astype(np.uint8)
                     payload = ppm_encode(px)
                     rows.append((int(i), t, payload, w, hgt, None))
+                    continue
+                if t == "video":
+                    # REAL PPMV payload: deterministic per-(id, frame)
+                    # gradient frames, so frame-level assertions have
+                    # exact expected pixel values
+                    frame_ms = 250
+                    nf = 4 + int(i) % 5
+                    yy, xx = np.mgrid[0:12, 0:16]
+                    vid = []
+                    for f in range(nf):
+                        base = (yy * 3 + xx * 5 + int(i) * 7 + f * 11) % 256
+                        vid.append(np.stack(
+                            [base, (base + 85) % 256, (base + 170) % 256],
+                            axis=2).astype(np.uint8))
+                    rows.append((int(i), t, ppmv_encode(vid, frame_ms),
+                                 16, 12, nf * frame_ms))
                     continue
                 h = hashlib.md5(f"{seed}:{i}".encode()).digest()
                 payload = h * (8 + i % 8)

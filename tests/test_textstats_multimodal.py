@@ -323,3 +323,75 @@ def test_resize_images_real_pixels(spark):
         multimodal.MEDIA_SCHEMA)
     with _pytest.raises(Exception, match="NotImplementedError|PIL"):
         multimodal.resize_images(weird, 32, 16, strict=True).collect()
+
+
+def test_ppmv_roundtrip_and_real_frame_sampling(spark):
+    """The PPMV container round-trips pixel-exactly, and sample_frames
+    decodes synthetic videos FOR REAL: every emitted frame vector equals
+    _image_feature of the exact source frame the sampled timestamp maps
+    to (min(ts // frame_ms, n_frames-1)), computed independently here
+    from the generator's formula."""
+    import numpy as np
+
+    # codec roundtrip: 3 frames of distinct shapes/values
+    frames = [
+        (np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3) * k) % 256
+        for k in (1, 5, 11)]
+    payload = multimodal.ppmv_encode(frames, 40)
+    back = multimodal.ppmv_decode(payload)
+    assert back is not None and back[1] == 40
+    assert len(back[0]) == 3
+    for a, b in zip(frames, back[0]):
+        assert np.array_equal(a, b)
+    assert multimodal.ppmv_decode(b"PPMV\nnot ints\nP6") is None
+    assert multimodal.ppmv_decode(b"\x00junk") is None
+
+    media = multimodal.synthetic_media(spark, n=12, seed=42).cache()
+    got = multimodal.sample_frames(media, every_ms=1000, max_frames=4,
+                                   strict=True).collect()
+    assert got
+    yy, xx = np.mgrid[0:12, 0:16]
+    for r in got:
+        i = int(r.media_id)
+        nf, frame_ms = 4 + i % 5, 250
+        src = min(int(r.frame_ts_ms) // frame_ms, nf - 1)
+        base = (yy * 3 + xx * 5 + i * 7 + src * 11) % 256
+        px = np.stack([base, (base + 85) % 256, (base + 170) % 256],
+                      axis=2).astype(np.uint8)
+        want = multimodal._image_feature(px).tolist()
+        assert r.frame == pytest.approx(want)
+    # finer stride: multiple sampled frames per video, later timestamps
+    # hitting LATER source frames (distinct pixel content)
+    fine = multimodal.sample_frames(media, every_ms=500, max_frames=4,
+                                    strict=True).collect()
+    by_id = {}
+    for r in sorted(fine, key=lambda r: (r.media_id, r.frame_idx)):
+        by_id.setdefault(int(r.media_id), []).append(r)
+    some = next(v for v in by_id.values() if len(v) >= 2)
+    assert some[0].frame != some[1].frame
+
+    # non-PPMV video payloads still stub (and raise in strict mode)
+    fake = spark.createDataFrame(
+        [(99, "video", bytearray(b"not a ppmv stream"), None, None, 3000)],
+        multimodal.MEDIA_SCHEMA)
+    rows = multimodal.sample_frames(fake, every_ms=1000).collect()
+    assert len(rows) == 3
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        multimodal.sample_frames(fake, every_ms=1000, strict=True).collect()
+
+    # extract_features: video tier is now REAL (strict passes; feature =
+    # mean of per-frame features)
+    vids = media.filter("media_type = 'video'")
+    feats = {int(r.media_id): r.feature for r in
+             multimodal.extract_features(vids, strict=True).collect()}
+    assert feats
+    for i, f in feats.items():
+        nf = 4 + i % 5
+        per = []
+        for fr in range(nf):
+            base = (yy * 3 + xx * 5 + i * 7 + fr * 11) % 256
+            px = np.stack([base, (base + 85) % 256, (base + 170) % 256],
+                          axis=2).astype(np.uint8)
+            per.append(multimodal._image_feature(px))
+        want = np.stack(per).mean(axis=0).astype(np.float32).tolist()
+        assert f == pytest.approx(want)
