@@ -1029,6 +1029,58 @@ def _manifest_rel_files(index_path: str, rel: str) -> list[str] | None:
     return out
 
 
+def vacuum_index(index_path: str) -> dict:
+    """Manifest-mode hygiene: delete data files in the index's relation
+    dirs that NO committed manifest references — the torn/uncommitted
+    PUTs a crashed copy-mode append or delete leaves behind. Readers
+    never see those files (manifests are the only listing), so vacuum
+    is pure storage reclamation and can run any time no batch is
+    in-flight (an in-flight batch raises: its resume will re-copy, but
+    refusing keeps the contract trivially safe). Only directories some
+    manifest actually names are touched; marker files (_*/.*) and the
+    protocol dirs (.staging, append_lineage, _manifests) are never.
+    Rename-mode indexes have nothing to vacuum (renames are atomic;
+    crashed swaps are repaired, not orphaned) and return immediately.
+
+    Returns {"mode", "removed", "bytes"}. On a real object store this
+    maps to a LIST + compare + DELETE batch per relation prefix."""
+    if _index_commit_mode(index_path) != "manifest":
+        return {"mode": "rename", "removed": 0, "bytes": 0}
+    inflight = _find_inflight_batch(index_path)
+    if inflight is not None:
+        raise ValueError(
+            f"vacuum_index: batch {inflight!r} at {index_path} is staged "
+            "but not fully committed; resume it first."
+        )
+    import json as _json
+
+    referenced: set[str] = set()
+    rels: set[str] = set()
+    mdir = f"{index_path}/{MANIFEST_DIR}"
+    for fn in sorted(os.listdir(mdir)):
+        if not fn.endswith(".json"):
+            continue
+        with open(f"{mdir}/{fn}") as f:
+            for rp in _json.load(f)["files"]:
+                referenced.add(rp)
+                rels.add(rp.split("/", 1)[0])
+    removed, freed = 0, 0
+    for rel in sorted(rels):
+        base = f"{index_path}/{rel}"
+        if not os.path.isdir(base):
+            continue
+        for dirpath, _dn, filenames in os.walk(base):
+            for fn in filenames:
+                if fn.startswith(("_", ".")):
+                    continue
+                full = f"{dirpath}/{fn}"
+                if os.path.relpath(full, index_path) not in referenced:
+                    freed += os.path.getsize(full)
+                    os.remove(full)
+                    removed += 1
+    return {"mode": "manifest", "removed": removed, "bytes": freed}
+
+
 def _list_data_files(root: str, rel: str) -> list[str]:
     """Relative paths of the data files under <root>/<rel> (recursive,
     skipping markers) — the base-manifest generator."""

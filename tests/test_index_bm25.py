@@ -1069,3 +1069,77 @@ def test_manifest_commit_mode(spark, tmp_path):
         spark, idx_m, qs, 100 - del_df.count(), avgdl, k=100,
         num_shards=4).collect()
     assert post and not {r.doc_id for r in post} & set(range(0, 100, 9))
+
+
+def test_vacuum_manifest_orphans(spark, tmp_path):
+    """vacuum_index removes exactly the data files no committed manifest
+    references (torn PUTs from crashed copy-mode commits), leaves every
+    referenced file and all query results untouched, raises while a
+    batch is in-flight, and is a no-op on rename-mode indexes."""
+    import os as _os
+
+    from cer_for_mti_spark import datagen
+
+    full = datagen.generate_webtext(spark, 100, seed=48).cache()
+    old = full.filter(F.col("doc_id") < 70)
+    new = full.filter(F.col("doc_id") >= 70)
+    dt = ib.build_doc_terms(old).cache()
+    ds = ib.build_doc_stats(dt)
+    n_old, avgdl = ib.corpus_stats(ds)
+    runs = ib.build_posting_runs(dt, ds, avgdl, salt=4, n_docs=100)
+
+    idx_r = str(tmp_path / "vac_rename")
+    ib.write_runs_index(runs, ds, idx_r, num_shards=4)
+    assert ib.vacuum_index(idx_r) == {"mode": "rename", "removed": 0,
+                                      "bytes": 0}
+
+    idx = str(tmp_path / "vac_manifest")
+    ib.write_runs_index(runs, ds, idx, num_shards=4,
+                        commit_mode="manifest")
+    qs = spark.createDataFrame([(0, "the data"), (1, "the")],
+                               "query_id int, query string")
+
+    def key(idx_):
+        return sorted((r.query_id, r.doc_id, r.rank, round(r.score, 6))
+                      for r in bm25.bm25_wand_sharded_from_index(
+                          spark, idx_, qs, n_old, avgdl, k=10,
+                          num_shards=4).collect())
+
+    base = key(idx)
+
+    # in-flight batch: vacuum refuses
+    ib.append_runs_index(spark, idx, new, avgdl, salt=4, n_docs=100,
+                         num_shards=4, fail_after=1)
+    with pytest.raises(ValueError, match="staged but not fully"):
+        ib.vacuum_index(idx)
+    ib.append_runs_index(spark, idx, new, avgdl, salt=4, n_docs=100,
+                         num_shards=4)  # resume
+    full_key = key(idx)
+    assert full_key != base  # appended docs visible
+
+    # plant torn objects in two relations; count referenced files first
+    shard_dirs = sorted(d for d in _os.listdir(f"{idx}/runs")
+                        if d.startswith("shard="))
+    torn1 = f"{idx}/runs/{shard_dirs[0]}/b9999-torn.parquet"
+    torn2 = f"{idx}/doc_stats/b9999-torn.parquet"
+    for t in (torn1, torn2):
+        with open(t, "wb") as f:
+            f.write(b"\x00garbage" * 100)
+
+    def all_files(idx_):
+        out = set()
+        for rel in ("runs", "doc_stats"):
+            for dp, _dn, fns in _os.walk(f"{idx_}/{rel}"):
+                out |= {f"{dp}/{fn}" for fn in fns
+                        if not fn.startswith(("_", "."))}
+        return out
+
+    before_files = all_files(idx)
+    res = ib.vacuum_index(idx)
+    assert res["mode"] == "manifest" and res["removed"] == 2
+    assert res["bytes"] == 2 * 800
+    assert not _os.path.exists(torn1) and not _os.path.exists(torn2)
+    assert all_files(idx) == before_files - {torn1, torn2}
+    # idempotent, and queries see the appended corpus unchanged
+    assert ib.vacuum_index(idx)["removed"] == 0
+    assert key(idx) == full_key

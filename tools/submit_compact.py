@@ -17,6 +17,8 @@ own doc_stats). merged: index_build.compact_index — streamed doc_terms
 deltas merged into the merged-postings layout (auto-upgrades to a
 stats-refresh rebuild past the drift threshold). ann: purge tombstoned vectors
 (index_build.delete_docs on an ANN index) from the codes/vectors layers.
+vacuum: delete data files no committed manifest references (torn PUTs
+left by crashed copy-mode appends — manifest-mode indexes only).
 Prints one JSON line.
 """
 
@@ -38,6 +40,8 @@ def main() -> None:
     p.add_argument("--shards", type=int, default=32)
     a = sub.add_parser("ann")
     a.add_argument("--index", required=True)
+    v = sub.add_parser("vacuum")
+    v.add_argument("--index", required=True)
     m = sub.add_parser("merged")
     m.add_argument("--index", required=True)
     m.add_argument("--delta", required=True)
@@ -48,9 +52,17 @@ def main() -> None:
     m.add_argument("--rebuild-threshold", type=float, default=0.5)
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession
-
     from cer_for_mti_spark.operators import index_build as ib
+
+    if args.cmd == "vacuum":
+        # driver-local manifest walk — no SparkSession needed
+        t0 = time.time()
+        out = {"index": args.index, **ib.vacuum_index(args.index)}
+        out["elapsed_sec"] = round(time.time() - t0, 3)
+        print(json.dumps(out))
+        return
+
+    from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.appName("cer_compact").getOrCreate()
     t0 = time.time()
