@@ -44,6 +44,29 @@ CONJ_QUERY_SET = [
     (3, "data zzznope"),
 ]
 
+# prefix (wildcard) query set: multi-completion pattern + literal, single
+# completion, OOV pattern (expands to nothing — only the literal scores),
+# and two patterns in one query. max_expansions=4 is deliberately smaller
+# than "s*"'s completion count so the deterministic cap order
+# (df DESC, term ASC) is exercised on both engines.
+PREFIX_QUERY_SET = [
+    (0, "s* join"),
+    (1, "col*"),
+    (2, "zz* data"),
+    (3, "qu* gr*"),
+]
+PREFIX_MAX_EXPANSIONS = 4
+
+# fuzzy query set at max_dist=1, prefix_len=1: deletion typo, insertion
+# typo + exact term, OOV (no dictionary term within distance 1 — zero
+# rows), substitution typo + a distance-2 typo that must stay unexpanded.
+FUZZY_QUERY_SET = [
+    (0, "colum"),
+    (1, "scann merge"),
+    (2, "zzznope"),
+    (3, "windoq tabel"),
+]
+
 _T = "regexp_split_to_array(text, '\\s+')"
 _TOKS_CTE = (
     "toks AS (SELECT doc_id, t.term FROM documents, "
@@ -217,6 +240,43 @@ def q_bm25_tombstone(spark, sf_dir):
     queries = spark.createDataFrame(BM25_QUERY_SET, "query_id int, query string")
     return bm25.bm25_wand_sharded(queries, runs, n, avgdl, k=10,
                                   tombstones=tomb)
+
+
+def q_bm25_prefix(spark, sf_dir):
+    """Wildcard retrieval (Lucene PrefixQuery, scoring-boolean rewrite):
+    '*'-suffixed tokens expand against the corpus dictionary — top
+    max_expansions completions by (df DESC, term ASC) — then plain BM25
+    over the rewritten disjunction. Oracle expands in SQL from the same
+    dictionary (_bm25_expand_sql); tests/test_query_expand.py covers the
+    index-scan (StringStartsWith-pruned) twin the driver can't see."""
+    from cer_for_mti_spark.operators import query_expand as qe
+
+    docs = _docs(spark, sf_dir)
+    dt = ib.build_doc_terms(docs).cache()
+    ds = ib.build_doc_stats(dt)
+    n, avgdl = ib.corpus_stats(ds)
+    queries = spark.createDataFrame(PREFIX_QUERY_SET,
+                                    "query_id int, query string")
+    return qe.bm25_prefix(queries, dt, ds, n, avgdl, k=10,
+                          max_expansions=PREFIX_MAX_EXPANSIONS)
+
+
+def q_bm25_fuzzy(spark, sf_dir):
+    """Typo-tolerant retrieval (Lucene FuzzyQuery, maxEdits=1,
+    prefixLength=1): every token expands to dictionary terms within
+    Levenshtein distance 1 sharing its first character, capped by
+    (distance ASC, df DESC, term ASC); the literal token is always
+    kept, so OOV queries score zero rows rather than erroring."""
+    from cer_for_mti_spark.operators import query_expand as qe
+
+    docs = _docs(spark, sf_dir)
+    dt = ib.build_doc_terms(docs).cache()
+    ds = ib.build_doc_stats(dt)
+    n, avgdl = ib.corpus_stats(ds)
+    queries = spark.createDataFrame(FUZZY_QUERY_SET,
+                                    "query_id int, query string")
+    return qe.bm25_fuzzy(queries, dt, ds, n, avgdl, k=10, max_dist=1,
+                         prefix_len=1)
 
 
 def q_stopword_filter(spark, sf_dir):
@@ -1059,8 +1119,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     signal). Redundant twins live in queries_extra() below, still
     oracle-checked by tests/test_driver_contract.py. Ordering puts the
     rows that missed r03 (phrase_search, phrase_search_sharded,
-    asof_join) and this round's new oracles (ann_ivf_kmeans,
-    domain_cap_hashed) well inside any cap."""
+    asof_join) and newer oracles (ann_ivf_kmeans, domain_cap_hashed,
+    bm25_tombstone, bm25_prefix, bm25_fuzzy) well inside any cap.
+    r5 rotation: brat_parse/pubtator_parse (stable-green since r1,
+    still golden-parity + extras-sweep covered) out; the prefix/fuzzy
+    expansion rows in."""
     return {
         "doc_terms": q_doc_terms,
         "term_dictionary": q_term_dictionary,
@@ -1101,8 +1164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "multimodal_features": q_multimodal_features,
         "doc_terms_chem": q_doc_terms_chem,
-        "brat_parse": q_brat_parse,
-        "pubtator_parse": q_pubtator_parse,
+        "bm25_prefix": q_bm25_prefix,
+        "bm25_fuzzy": q_bm25_fuzzy,
         "bio_decode": q_bio_decode,
         "wordpiece_merge": q_wordpiece_merge,
         "bm25_exclude": q_bm25_exclude,
@@ -1128,6 +1191,10 @@ def queries_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       driver rows since r1/r2, rotated out in r5 to make room for kwic,
       bm25_exclude (the r4 retrieval features the judge asked to see
       driver-verified) and bm25_tombstone (the r5 delete leg);
+    - brat_parse / pubtator_parse: stable-green driver rows since r1,
+      rotated out in r5 for bm25_prefix / bm25_fuzzy (the query-
+      expansion retrieval features) — both formats stay covered by the
+      golden-parity suite and this sweep;
     - bootstrap_stats: numpy seed-13 RNG summary — its exact hash twin
       bootstrap_prf has a full driver oracle;
     - reference_golden_metrics: 26 golden rows asserted exactly in
@@ -1145,16 +1212,22 @@ def queries_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_terms_narrow": q_doc_terms_narrow,
         "bootstrap_stats": q_bootstrap_stats,
         "reference_golden_metrics": q_reference_golden_metrics,
+        "brat_parse": q_brat_parse,
+        "pubtator_parse": q_pubtator_parse,
     }
 
 
 # --- oracle SQL -------------------------------------------------------------
 
 def _bm25_sql(query_set=None, conjunctive: bool = False,
-              exclude_pred: str | None = None) -> str:
+              exclude_pred: str | None = None,
+              qt_ctes: str | None = None) -> str:
     """exclude_pred: SQL predicate applied to the scored set BEFORE the
     rank window — lazy tombstone semantics (df/N/avgdl stay full-corpus,
-    deleted docs can't eat top-k slots)."""
+    deleted docs can't eat top-k slots). qt_ctes: replacement for the
+    literal-VALUES qt CTE (must define a CTE named qt with columns
+    (query_id, term)) — the expansion oracles (_bm25_expand_sql) derive
+    qt from the corpus dictionary instead of inlining it."""
     query_set = query_set if query_set is not None else BM25_QUERY_SET
     vals = ", ".join(
         f"({qid}, '{t}')"
@@ -1166,11 +1239,14 @@ def _bm25_sql(query_set=None, conjunctive: bool = False,
         "(SELECT count(*) FROM qt q2 WHERE q2.query_id = qt.query_id)"
         if conjunctive else ""
     )
+    qt_chain = qt_ctes if qt_ctes is not None else (
+        f"qt AS (SELECT * FROM (VALUES {vals}) AS q(query_id, term))"
+    )
     return f"""
 WITH {_TOKS_CTE}, {_DT_CTE},
 ds AS (SELECT doc_id, sum(tf)::BIGINT AS doclen FROM dt GROUP BY 1),
 cs AS (SELECT count(*)::DOUBLE AS n, avg(doclen) AS avgdl FROM ds),
-qt AS (SELECT * FROM (VALUES {vals}) AS q(query_id, term)),
+{qt_chain},
 tdf AS (SELECT term, count(*)::DOUBLE AS df FROM dt
         WHERE term IN (SELECT term FROM qt) GROUP BY 1),
 scored AS (
@@ -1188,6 +1264,59 @@ SELECT query_id, doc_id, score, rank FROM (
       PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank
   FROM scored{" WHERE " + exclude_pred if exclude_pred else ""}) WHERE rank <= 10
 """
+
+
+def _bm25_expand_sql(kind: str, query_set, max_expansions: int = 50,
+                     max_dist: int = 1, prefix_len: int = 1) -> str:
+    """BM25 over an expanded query — the DuckDB twin of
+    operators/query_expand.py. The pattern set is parsed here (trailing
+    '*' = prefix, mirroring _split_patterns); the EXPANSION itself runs
+    in SQL against the corpus-derived dictionary with the same
+    deterministic cap order as the Spark side:
+      prefix: df DESC, term ASC;  fuzzy: distance ASC, df DESC, term ASC.
+    Fuzzy always unions the literal pattern (OOV patterns score zero)."""
+    rows = []
+    for qid, q in query_set:
+        for tok in dict.fromkeys(q.split()):
+            if kind == "prefix" and tok.endswith("*") and len(tok) > 1:
+                rows.append((qid, tok[:-1], "true"))
+            else:
+                rows.append((qid, tok, "false"))
+    assert all(p.replace("-", "").isalnum() for _, p, _ in rows), \
+        "pattern stems must be LIKE-safe"
+    vals = ", ".join(f"({qid}, '{p}', {flag})" for qid, p, flag in rows)
+    pat = (f"pat AS (SELECT * FROM (VALUES {vals}) "
+           "AS p(query_id, pat, is_prefix))")
+    dic = "dict AS (SELECT term, count(*)::DOUBLE AS df FROM dt GROUP BY 1)"
+    if kind == "prefix":
+        exp = f"""exp AS (
+  SELECT query_id, term FROM (
+    SELECT p.query_id, p.pat, d.term,
+           row_number() OVER (PARTITION BY p.query_id, p.pat
+               ORDER BY d.df DESC, d.term ASC) AS rn
+    FROM pat p JOIN dict d ON d.term LIKE p.pat || '%'
+    WHERE p.is_prefix) WHERE rn <= {int(max_expansions)}
+  UNION
+  SELECT query_id, pat FROM pat WHERE NOT is_prefix)"""
+    elif kind == "fuzzy":
+        exp = f"""exp AS (
+  SELECT query_id, term FROM (
+    SELECT p.query_id, p.pat, d.term,
+           row_number() OVER (PARTITION BY p.query_id, p.pat
+               ORDER BY levenshtein(d.term, p.pat) ASC, d.df DESC,
+                        d.term ASC) AS rn
+    FROM pat p JOIN dict d
+      ON substr(d.term, 1, {int(prefix_len)})
+           = substr(p.pat, 1, {int(prefix_len)})
+     AND abs(length(d.term) - length(p.pat)) <= {int(max_dist)}
+     AND levenshtein(d.term, p.pat) <= {int(max_dist)})
+  WHERE rn <= {int(max_expansions)}
+  UNION
+  SELECT query_id, pat FROM pat)"""
+    else:
+        raise ValueError(kind)
+    qt = "qt AS (SELECT DISTINCT query_id, term FROM exp)"
+    return _bm25_sql(qt_ctes=", ".join([pat, dic, exp, qt]))
 
 
 def _minhash_ctes() -> str:
@@ -1732,8 +1861,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         "doc_terms": f"WITH {_TOKS_CTE}, {_DT_CTE} SELECT * FROM dt",
         "doc_terms_chem": _doc_terms_chem_sql(),
-        "brat_parse": _brat_parse_sql(),
-        "pubtator_parse": _pubtator_parse_sql(),
+        "bm25_prefix": _bm25_expand_sql(
+            "prefix", PREFIX_QUERY_SET,
+            max_expansions=PREFIX_MAX_EXPANSIONS),
+        "bm25_fuzzy": _bm25_expand_sql(
+            "fuzzy", FUZZY_QUERY_SET, max_dist=1, prefix_len=1),
         "bio_decode": _bio_decode_sql(),
         "wordpiece_merge": _wordpiece_merge_sql(),
         "entity_class_counts": f"""
@@ -2008,4 +2140,6 @@ SELECT event_type, count(*)::BIGINT AS n, round(avg(value), 4) AS avg_value,
 FROM events GROUP BY 1
 """,
         "sentencepiece_merge": _sentencepiece_merge_sql(),
+        "brat_parse": _brat_parse_sql(),
+        "pubtator_parse": _pubtator_parse_sql(),
     }

@@ -55,7 +55,7 @@ ANN_IDX = f"{WORK}/ann_idx_{SCALE_DOCS}"
 QUERY_NAMES = [
     "tpch_q1", "top_orders", "doc_terms", "bm25_topk", "bm25_wand_sharded",
     "minhash_lsh", "embedding_near_dup", "sessionize", "embedding_topk",
-    "quality",
+    "quality", "bm25_prefix", "bm25_fuzzy",
 ]
 
 # 29 distinct ultra-hot terms prepended to EVERY doc of the skew variant

@@ -1,0 +1,271 @@
+"""Query expansion: prefix (wildcard) and fuzzy (edit-distance) term
+rewrite against the corpus term dictionary — the Lucene
+PrefixQuery / FuzzyQuery surface, SCORING_BOOLEAN rewrite: each
+expanded dictionary term is OR'd into the query and scored with its own
+df-based idf, so ranking is exactly BM25 over the rewritten
+disjunction.
+
+Design for scale:
+
+- Expansion runs against the TERM DICTIONARY (vocabulary-sized, Heaps'
+  law — orders of magnitude smaller than the corpus), never the
+  postings. Patterns are broadcast; the dictionary is scanned once.
+- The from-index variants derive the dictionary from the written runs
+  relation with a `startswith` predicate that PUSHES DOWN into the
+  parquet scan (PushedFilters: StringStartsWith) — prefix queries touch
+  only matching row groups; fuzzy queries get the same pruning from
+  their `prefix_len` guard (Lucene's prefixLength, default 1 here
+  precisely because it makes the dictionary scan prunable).
+- Every pattern's expansion is CAPPED (`max_expansions`, Lucene's
+  maxExpansions) with a deterministic order, so the rewritten query is
+  bounded however hot the prefix — "t*" cannot fan out into a million
+  terms and a million posting fetches.
+- The result is a rewritten (query_id, query) DataFrame whose query
+  string is the space-joined sorted term set. Analyzed terms never
+  contain whitespace (every tokenizer mode splits on it), so the
+  rewritten string re-tokenizes to exactly the expanded term set in
+  "simple" mode — ALL existing scorer paths (naive / WAND / sharded /
+  from-index, tombstone-aware) accept it unchanged.
+
+Semantics notes:
+
+- Expansion order: prefix = (df DESC, term ASC); fuzzy =
+  (edit distance ASC, df DESC, term ASC). Deterministic, mirrored
+  exactly by the DuckDB oracles (__spark_entry__._bm25_expand_sql).
+- Fuzzy always unions the literal pattern itself (an OOV pattern simply
+  scores nothing), so dist=0 degrades to plain BM25.
+- A trailing '*' marks a prefix token; there is no escape — a literal
+  trailing-asterisk term is not queryable through expand_prefix
+  (analyzed webtext vocabularies don't contain one).
+
+Reference anchor: the reference engine's retrieval surface is exact
+term lookup only (run_tool_evaluation.py builds dict-keyed candidate
+sets); prefix/fuzzy retrieval is an engine addition from the public
+Lucene feature set, re-expressed as declarative DataFrame expansion +
+the existing BM25 paths.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _split_patterns(queries: DataFrame) -> DataFrame:
+    """(query_id, query) -> (query_id, pat, is_prefix): whitespace
+    split; a trailing '*' (with a non-empty stem) marks a prefix
+    pattern. Distinct per query — duplicate tokens expand once."""
+    toks = queries.select(
+        "query_id",
+        F.explode(F.filter(F.split(F.col("query"), r"\s+"),
+                           lambda t: t != "")).alias("tok"),
+    )
+    return (
+        toks.withColumn(
+            "is_prefix",
+            F.col("tok").endswith("*") & (F.length("tok") > 1),
+        )
+        .withColumn(
+            "pat",
+            F.when(F.col("is_prefix"),
+                   F.expr("substring(tok, 1, length(tok) - 1)"))
+            .otherwise(F.col("tok")),
+        )
+        .select("query_id", "pat", "is_prefix")
+        .distinct()
+    )
+
+
+def _rejoin(qt: DataFrame, queries: DataFrame) -> DataFrame:
+    """(query_id, term) -> (query_id, query) with the space-joined
+    sorted distinct term set; queries whose expansion is empty keep an
+    empty string (scorers then return no rows for them)."""
+    joined = qt.groupBy("query_id").agg(
+        F.concat_ws(" ", F.array_sort(F.collect_set("term"))).alias("query")
+    )
+    return (
+        queries.select("query_id")
+        .distinct()
+        .join(joined, "query_id", "left")
+        .select("query_id", F.coalesce("query", F.lit("")).alias("query"))
+    )
+
+
+def expand_prefix(queries: DataFrame, term_dict: DataFrame,
+                  max_expansions: int = 50) -> DataFrame:
+    """Rewrite '*'-suffixed tokens into their top-`max_expansions`
+    dictionary completions (df DESC, term ASC); literal tokens pass
+    through. term_dict: (term, df) — build_doc_terms.groupBy or the
+    pruned index scan (expand_prefix_from_index). Returns the rewritten
+    (query_id, query) batch."""
+    pats = _split_patterns(queries)
+    pre = pats.filter("is_prefix").select("query_id", "pat")
+    lit = pats.filter(~F.col("is_prefix")).select(
+        "query_id", F.col("pat").alias("term"))
+    # broadcast the tiny pattern set against the vocabulary-sized dict;
+    # the theta-join predicate is a prefix match (a sorted dictionary
+    # would make this a range probe — the parquet scan variant gets the
+    # equivalent via StringStartsWith pushdown)
+    cand = term_dict.join(
+        F.broadcast(pre),
+        F.col("term").startswith(F.col("pat")),
+    )
+    w = Window.partitionBy("query_id", "pat").orderBy(
+        F.desc("df"), F.asc("term"))
+    exp = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_expansions)
+        .select("query_id", "term")
+    )
+    return _rejoin(exp.unionByName(lit), queries)
+
+
+def expand_fuzzy(queries: DataFrame, term_dict: DataFrame,
+                 max_dist: int = 1, prefix_len: int = 1,
+                 max_expansions: int = 50) -> DataFrame:
+    """Rewrite EVERY token into dictionary terms within Levenshtein
+    distance `max_dist` that share its first `prefix_len` characters
+    (Lucene FuzzyQuery's prefixLength), capped at `max_expansions` per
+    token by (distance ASC, df DESC, term ASC); the literal token is
+    always kept. The length band |len(term)-len(pat)| <= max_dist and
+    the shared prefix prune the dictionary scan before the O(n*m)
+    distance runs."""
+    pats = _split_patterns(queries).select("query_id", "pat")
+    cand = term_dict.join(
+        F.broadcast(pats),
+        (F.expr(f"substring(term, 1, {int(prefix_len)})")
+         == F.expr(f"substring(pat, 1, {int(prefix_len)})"))
+        & (F.abs(F.length("term") - F.length("pat")) <= max_dist),
+    ).withColumn("dist", F.levenshtein("term", "pat"))
+    w = Window.partitionBy("query_id", "pat").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term"))
+    exp = (
+        cand.filter(F.col("dist") <= max_dist)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_expansions)
+        .select("query_id", "term")
+    )
+    lit = pats.select("query_id", F.col("pat").alias("term"))
+    return _rejoin(exp.unionByName(lit), queries)
+
+
+def term_dict_from_doc_terms(doc_terms: DataFrame) -> DataFrame:
+    """(term, df) from the uncompressed (doc_id, term, tf) relation."""
+    return doc_terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def _patterns_driver_side(queries_rows) -> tuple[list[str], list[str]]:
+    """(prefix stems, literal/fuzzy pats) from a collected query batch —
+    mirrors _split_patterns for the from-index scan pruning."""
+    stems, lits = set(), set()
+    for r in queries_rows:
+        for tok in (r["query"] or "").split():
+            if tok.endswith("*") and len(tok) > 1:
+                stems.add(tok[:-1])
+            else:
+                lits.add(tok)
+    return sorted(stems), sorted(lits)
+
+
+def term_dict_from_runs_index(spark, index_path: str,
+                              prefixes: list[str]) -> DataFrame:
+    """(term, df) for dictionary terms matching ANY of the given
+    prefixes, scanned from a written runs index. The OR-of-startswith
+    predicate pushes into the parquet scan (PushedFilters:
+    StringStartsWith) — only matching row groups are decoded; run-local
+    df sums to the global df the scorer needs."""
+    from cer_for_mti_spark.operators.index_build import read_index_rel
+
+    runs = read_index_rel(spark, index_path, "runs", with_base_path=True)
+    if not prefixes:
+        return runs.select("term").limit(0).withColumn("df", F.lit(0).cast("long"))
+    pred = F.col("term").startswith(prefixes[0])
+    for p in prefixes[1:]:
+        pred = pred | F.col("term").startswith(p)
+    return (
+        runs.filter(pred)
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+
+
+def bm25_prefix(queries: DataFrame, doc_terms: DataFrame,
+                doc_stats: DataFrame, n_docs: int, avgdl: float,
+                k: int = 10, max_expansions: int = 50) -> DataFrame:
+    """Prefix-expanded BM25 over the open relations — expansion against
+    the derived dictionary, then the declarative naive scorer (the
+    DuckDB-oracle twin)."""
+    from cer_for_mti_spark.operators import bm25
+
+    expanded = expand_prefix(
+        queries, term_dict_from_doc_terms(doc_terms), max_expansions)
+    return bm25.bm25_naive(expanded, doc_terms, doc_stats, n_docs, avgdl,
+                           k=k, mode="simple")
+
+
+def bm25_fuzzy(queries: DataFrame, doc_terms: DataFrame,
+               doc_stats: DataFrame, n_docs: int, avgdl: float,
+               k: int = 10, max_dist: int = 1, prefix_len: int = 1,
+               max_expansions: int = 50) -> DataFrame:
+    """Fuzzy-expanded BM25 over the open relations."""
+    from cer_for_mti_spark.operators import bm25
+
+    expanded = expand_fuzzy(
+        queries, term_dict_from_doc_terms(doc_terms),
+        max_dist=max_dist, prefix_len=prefix_len,
+        max_expansions=max_expansions)
+    return bm25.bm25_naive(expanded, doc_terms, doc_stats, n_docs, avgdl,
+                           k=k, mode="simple")
+
+
+def bm25_prefix_sharded_from_index(spark, index_path: str,
+                                   queries: DataFrame, n_docs: int,
+                                   avgdl: float, k: int = 10,
+                                   num_shards: int = 32,
+                                   max_expansions: int = 50,
+                                   tombstones="auto") -> DataFrame:
+    """The 10^12-doc prefix-query shape: expand against the index's own
+    dictionary (StringStartsWith-pruned runs scan), then the sharded
+    block-max scorer over the shard/term-pruned postings fetch —
+    rank-identical to bm25_prefix over the open relations (same
+    dictionary, same cap order, same scoring)."""
+    from cer_for_mti_spark.operators import bm25
+
+    q_rows = queries.collect()  # query batch is small by definition
+    stems, _lits = _patterns_driver_side(q_rows)
+    td = term_dict_from_runs_index(spark, index_path, stems)
+    expanded = expand_prefix(queries, td, max_expansions)
+    return bm25.bm25_wand_sharded_from_index(
+        spark, index_path, expanded, n_docs, avgdl, k=k, mode="simple",
+        num_shards=num_shards, tombstones=tombstones)
+
+
+def bm25_fuzzy_sharded_from_index(spark, index_path: str,
+                                  queries: DataFrame, n_docs: int,
+                                  avgdl: float, k: int = 10,
+                                  num_shards: int = 32, max_dist: int = 1,
+                                  prefix_len: int = 1,
+                                  max_expansions: int = 50,
+                                  tombstones="auto") -> DataFrame:
+    """Fuzzy twin of bm25_prefix_sharded_from_index. prefix_len >= 1 is
+    what keeps the dictionary scan prunable (the shared first characters
+    become the same StringStartsWith pushdown); prefix_len=0 would need
+    a full-vocabulary scan and is refused here — use the open-relation
+    bm25_fuzzy for that shape."""
+    from cer_for_mti_spark.operators import bm25
+
+    if prefix_len < 1:
+        raise ValueError(
+            "bm25_fuzzy_sharded_from_index needs prefix_len >= 1 (the "
+            "shared prefix is the index-scan pruning predicate); use "
+            "bm25_fuzzy over open relations for prefix_len=0."
+        )
+    q_rows = queries.collect()
+    stems, lits = _patterns_driver_side(q_rows)
+    probes = sorted({t[: int(prefix_len)] for t in stems + lits if t})
+    td = term_dict_from_runs_index(spark, index_path, probes)
+    expanded = expand_fuzzy(queries, td, max_dist=max_dist,
+                            prefix_len=prefix_len,
+                            max_expansions=max_expansions)
+    return bm25.bm25_wand_sharded_from_index(
+        spark, index_path, expanded, n_docs, avgdl, k=k, mode="simple",
+        num_shards=num_shards, tombstones=tombstones)
