@@ -837,6 +837,16 @@ def write_runs_index(runs: DataFrame, doc_stats: DataFrame, path: str,
         f"{path}/runs"
     )
     doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
+    # sorted term-dictionary sidecar: (term, df) derived from the runs
+    # just WRITTEN (a two-column columnar read — never re-running the
+    # encode pipeline), range-partitioned + sorted by term so prefix
+    # probes (query_expand) are range seeks over tight row-group stats
+    # instead of scans of the salt-amplified runs relation
+    spark = runs.sparkSession
+    _write_term_dict_sorted(
+        spark.read.parquet(f"{path}/runs").groupBy("term").agg(
+            F.sum("df").cast("long").alias("df")),
+        f"{path}/term_dict")
     n, live_avgdl = corpus_stats(doc_stats)
     write_index_meta(path, bake_avgdl=(
         float(bake_avgdl) if bake_avgdl is not None else live_avgdl
@@ -847,8 +857,62 @@ def write_runs_index(runs: DataFrame, doc_stats: DataFrame, path: str,
         _manifest_write(path, "base-runs", _list_data_files(path, "runs"))
         _manifest_write(path, "base-doc_stats",
                         _list_data_files(path, "doc_stats"))
+        _manifest_write(path, "base-term_dict",
+                        _list_data_files(path, "term_dict"))
     elif commit_mode != "rename":
         raise ValueError(f"unknown commit_mode {commit_mode!r}")
+
+
+TERM_DICT_RANGE_PARTITIONS = 32
+
+
+def _write_term_dict_sorted(term_df: DataFrame, out_path: str) -> None:
+    """Range-partition by term and sort within partitions — files carry
+    disjoint sorted term ranges, so file- and row-group-level min/max
+    stats turn a prefix predicate into a genuine range seek."""
+    (term_df.repartitionByRange(TERM_DICT_RANGE_PARTITIONS, "term")
+     .sortWithinPartitions("term")
+     .write.mode("overwrite").parquet(out_path))
+
+
+def has_term_dict(index_path: str) -> bool:
+    """True when this index carries the term_dict sidecar (indexes
+    written before it existed don't; readers then derive the dictionary
+    from the runs relation)."""
+    files = _manifest_rel_files(index_path, "term_dict")
+    if files is not None:
+        return bool(files)
+    return os.path.isdir(f"{index_path}/term_dict")
+
+
+def read_term_dict(spark, index_path: str,
+                   prefixes: list[str] | None = None) -> DataFrame:
+    """Global (term, df) for a written runs index, optionally pruned to
+    terms matching ANY of `prefixes` (the predicate pushes into the
+    parquet scan BEFORE the per-batch aggregation). Prefers the sorted
+    term_dict sidecar — per-batch (term, df) deltas summed at read, the
+    same lazy-df convention as the runs themselves (deletes don't
+    decrement df until compaction purges) — and falls back to deriving
+    from the runs relation for pre-sidecar indexes. Both sources are
+    value-identical by construction (tested)."""
+    # repair BEFORE probing for the sidecar: a compaction crash between
+    # its two renames leaves no term_dict dir (a complete staged
+    # replacement instead) and would otherwise read as "no sidecar"
+    repair_interrupted_compaction(index_path, "term_dict")
+    if has_term_dict(index_path):
+        df = read_index_rel(spark, index_path, "term_dict")
+    else:
+        df = read_index_rel(spark, index_path, "runs",
+                            with_base_path=True).select("term", "df")
+    if prefixes is not None:
+        if not prefixes:
+            return (df.select("term").limit(0)
+                    .withColumn("df", F.lit(0).cast("long")))
+        pred = F.col("term").startswith(prefixes[0])
+        for p in prefixes[1:]:
+            pred = pred | F.col("term").startswith(p)
+        df = df.filter(pred)
+    return df.groupBy("term").agg(F.sum("df").cast("long").alias("df"))
 
 
 def repair_interrupted_compaction(index_path: str,
@@ -1282,6 +1346,7 @@ def append_runs_index(spark, index_path: str, new_docs: DataFrame,
     # BEFORE committing units, or the append would resurrect a bare one
     repair_interrupted_compaction(index_path, "runs")
     repair_interrupted_compaction(index_path, "doc_stats")
+    repair_interrupted_compaction(index_path, "term_dict")
     inflight = _find_inflight_batch(index_path)
     if batch_id is None:
         if inflight is not None:
@@ -1365,6 +1430,15 @@ def append_runs_index(spark, index_path: str, new_docs: DataFrame,
         sharded.write.mode("overwrite").partitionBy("shard").parquet(
             f"{stage}/runs"
         )
+        if has_term_dict(index_path):
+            # delta-local (term, df) — readers sum per-batch deltas to
+            # the global df (read_term_dict). Indexes written before the
+            # sidecar existed stay runs-derived: committing a dict that
+            # held only this delta's counts would corrupt their df.
+            _write_term_dict_sorted(
+                spark.read.parquet(f"{stage}/runs").groupBy("term").agg(
+                    F.sum("df").cast("long").alias("df")),
+                f"{stage}/term_dict")
         delta_ds.write.mode("overwrite").parquet(f"{stage}/doc_stats")
         with open(f"{stage}/_STAGED", "w") as f:
             f.write(f"{n_delta}\n")
@@ -1373,6 +1447,9 @@ def append_runs_index(spark, index_path: str, new_docs: DataFrame,
             n_delta = int(f.readline())
 
     units = _staged_shard_units(stage, "runs", index_path)
+    if os.path.isdir(f"{stage}/term_dict"):
+        units.append(("term_dict", f"{stage}/term_dict",
+                      f"{index_path}/term_dict"))
     units.append(("doc_stats", f"{stage}/doc_stats",
                   f"{index_path}/doc_stats"))
     _commit_append_units(spark, index_path, batch_id, units, fail_after)
@@ -1694,6 +1771,7 @@ def compact_runs_index(spark, index_path: str, avgdl: float,
 
     Returns (runs_before, runs_after)."""
     repair_interrupted_compaction(index_path, "runs")
+    repair_interrupted_compaction(index_path, "term_dict")
     # manifest-aware: a manifest-mode index may hold uncommitted/torn
     # objects in the data dirs; compact only what the manifests commit
     runs = read_index_rel(spark, index_path, "runs", with_base_path=True)
@@ -1745,6 +1823,24 @@ def compact_runs_index(spark, index_path: str, avgdl: float,
     shutil.rmtree(staging, ignore_errors=True)
     if n_tomb:
         _purge_membership_sidecar(spark, index_path, "doc_stats")
+    had_dict = os.path.isdir(f"{index_path}/term_dict")
+    if had_dict:
+        # regenerate the sorted dictionary from the COMPACTED runs:
+        # per-batch deltas collapse to one sorted base, and purged docs'
+        # df drops land here (the stats-change event of the delete
+        # lifecycle). Same staged two-rename swap as every sidecar.
+        staging = f"{index_path}/.compact_staging"
+        _write_term_dict_sorted(
+            spark.read.parquet(f"{index_path}/runs").groupBy("term").agg(
+                F.sum("df").cast("long").alias("df")),
+            f"{staging}/term_dict")
+        final_td = f"{index_path}/term_dict"
+        trash_td = f"{index_path}/.term_dict_old"
+        shutil.rmtree(trash_td, ignore_errors=True)
+        os.rename(final_td, trash_td)
+        os.rename(f"{staging}/term_dict", final_td)
+        shutil.rmtree(trash_td)
+        shutil.rmtree(staging, ignore_errors=True)
     if _index_commit_mode(index_path) == "manifest":
         # compaction is offline rename-based maintenance; regenerate the
         # manifests to point at the compacted files (old unit manifests
@@ -1754,6 +1850,9 @@ def compact_runs_index(spark, index_path: str, avgdl: float,
                         _list_data_files(index_path, "runs"))
         _manifest_write(index_path, "base-doc_stats",
                         _list_data_files(index_path, "doc_stats"))
+        if had_dict:
+            _manifest_write(index_path, "base-term_dict",
+                            _list_data_files(index_path, "term_dict"))
         if os.path.isdir(f"{index_path}/tombstones"):
             _manifest_write(index_path, "base-tombstones",
                             _list_data_files(index_path, "tombstones"))

@@ -169,23 +169,15 @@ def _patterns_driver_side(queries_rows) -> tuple[list[str], list[str]]:
 def term_dict_from_runs_index(spark, index_path: str,
                               prefixes: list[str]) -> DataFrame:
     """(term, df) for dictionary terms matching ANY of the given
-    prefixes, scanned from a written runs index. The OR-of-startswith
-    predicate pushes into the parquet scan (PushedFilters:
-    StringStartsWith) — only matching row groups are decoded; run-local
-    df sums to the global df the scorer needs."""
-    from cer_for_mti_spark.operators.index_build import read_index_rel
+    prefixes, from a written runs index. Prefers the index's SORTED
+    term_dict sidecar (range-partitioned by term — the OR-of-startswith
+    predicate prunes whole files and row groups, a genuine range seek);
+    pre-sidecar indexes fall back to scanning the runs relation's
+    (term, df) columns with the same pushdown. Run-local / per-batch df
+    deltas sum to the global df the scorer needs either way."""
+    from cer_for_mti_spark.operators.index_build import read_term_dict
 
-    runs = read_index_rel(spark, index_path, "runs", with_base_path=True)
-    if not prefixes:
-        return runs.select("term").limit(0).withColumn("df", F.lit(0).cast("long"))
-    pred = F.col("term").startswith(prefixes[0])
-    for p in prefixes[1:]:
-        pred = pred | F.col("term").startswith(p)
-    return (
-        runs.filter(pred)
-        .groupBy("term")
-        .agg(F.sum("df").cast("long").alias("df"))
-    )
+    return read_term_dict(spark, index_path, prefixes=prefixes)
 
 
 def bm25_prefix(queries: DataFrame, doc_terms: DataFrame,

@@ -581,7 +581,8 @@ def test_append_runs_index_resumable(spark, tmp_path):
     # clean append on the control copy
     ib.append_runs_index(spark, idx_b, new, avgdl, salt=4, n_docs=100,
                          num_shards=4)
-    # crashed append: only 1 of the 5 units (4 shards + doc_stats) lands
+    # crashed append: only 1 of the 6 units (4 shards + term_dict +
+    # doc_stats) lands
     ib.append_runs_index(spark, idx_a, new, avgdl, salt=4, n_docs=100,
                          num_shards=4, fail_after=1)
     lin = spark.read.parquet(f"{idx_a}/append_lineage")
@@ -596,8 +597,8 @@ def test_append_runs_index_resumable(spark, tmp_path):
                              num_shards=4)
     assert n == 30
     assert _index_content(spark, idx_a) == _index_content(spark, idx_b)
-    # all 5 units committed, staging gone
-    assert spark.read.parquet(f"{idx_a}/append_lineage").count() == 5
+    # all 6 units committed, staging gone
+    assert spark.read.parquet(f"{idx_a}/append_lineage").count() == 6
     import os as _os
     assert not _os.path.isdir(f"{idx_a}/.staging") or not any(
         d.startswith("append_") for d in _os.listdir(f"{idx_a}/.staging"))

@@ -17,6 +17,10 @@ dropped BEFORE the top-k cut; composes with --conjunctive / --sharded.
 --phrase: index dir must be a positional runs index (submit_build
 --positional-index); queries are exact-adjacency phrases; output rows
 are (query, doc_id, n_matches). Prints one JSON line per result row.
+--prefix / --fuzzy: query expansion over a runs index — wildcard
+('dat*') completions or Levenshtein-close terms from the index term
+dictionary (sorted term_dict sidecar when present), scored through the
+sharded BM25 path; see operators/query_expand.py.
 """
 
 from __future__ import annotations
@@ -45,7 +49,27 @@ def main() -> None:
                     help="with --phrase: ordered-proximity tolerance "
                          "(term i may sit up to slop positions beyond "
                          "its exact slot); 0 = exact adjacency")
+    ap.add_argument("--prefix", action="store_true",
+                    help="wildcard retrieval over a RUNS index: "
+                         "'*'-suffixed query tokens expand against the "
+                         "index term dictionary (top --max-expansions "
+                         "by df) before BM25 scoring")
+    ap.add_argument("--fuzzy", action="store_true",
+                    help="typo-tolerant retrieval over a RUNS index: "
+                         "every token expands to dictionary terms "
+                         "within --fuzzy-dist edits sharing its first "
+                         "--fuzzy-prefix-len chars")
+    ap.add_argument("--fuzzy-dist", type=int, default=1)
+    ap.add_argument("--fuzzy-prefix-len", type=int, default=1)
+    ap.add_argument("--max-expansions", type=int, default=50)
     args = ap.parse_args()
+    if (args.prefix or args.fuzzy) and (
+            args.conjunctive or args.phrase or args.exclude):
+        raise SystemExit("--prefix/--fuzzy do not compose with "
+                         "--conjunctive/--phrase/--exclude")
+    if (args.prefix or args.fuzzy) and args.mode != "simple":
+        raise SystemExit("--prefix/--fuzzy expand to already-analyzed "
+                         "terms; only --mode simple is supported")
 
     from pyspark.sql import SparkSession
 
@@ -81,6 +105,30 @@ def main() -> None:
     # tombstoned docs (submit_delete.py) are dropped before every top-k
     # cut; the array is loaded once and passed to whichever path runs
     tomb = ib.load_tombstones(spark, args.index)
+    if args.prefix or args.fuzzy:
+        # expansion paths run over the RUNS index layout only (the
+        # dictionary probe and the sharded scorer share its pruning)
+        from cer_for_mti_spark.operators import query_expand as qe
+
+        if args.prefix:
+            out = qe.bm25_prefix_sharded_from_index(
+                spark, args.index, queries, n, avgdl, k=args.k,
+                num_shards=args.shards,
+                max_expansions=args.max_expansions, tombstones=tomb)
+        else:
+            out = qe.bm25_fuzzy_sharded_from_index(
+                spark, args.index, queries, n, avgdl, k=args.k,
+                num_shards=args.shards, max_dist=args.fuzzy_dist,
+                prefix_len=args.fuzzy_prefix_len,
+                max_expansions=args.max_expansions, tombstones=tomb)
+        for r in out.orderBy("query_id", "rank").collect():
+            print(json.dumps({
+                "query_id": r["query_id"], "query": qtext[r["query_id"]],
+                "rank": r["rank"], "doc_id": r["doc_id"],
+                "score": r["score"],
+            }))
+        spark.stop()
+        return
     terms = sorted(bm25._query_term_set(queries.collect(), args.mode))
     if args.exclude:
         neg_terms = bm25._query_term_set([{"query": args.exclude}],
