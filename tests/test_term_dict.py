@@ -138,6 +138,30 @@ def test_term_dict_manifest_mode_and_vacuum(spark, tmp_path):
     assert _dict_of(ib.read_term_dict(spark, idx)) == full
 
 
+def test_term_dict_files_carry_disjoint_sorted_ranges(spark, tmp_path):
+    """The range-seek property itself: term_dict data files hold
+    disjoint, internally sorted term ranges, so parquet footer min/max
+    stats prune whole files for any prefix predicate."""
+    import pyarrow.parquet as pq
+
+    _docs, idx, _avgdl = _build(spark, tmp_path, "td_rng", n=200, seed=13)
+    spans = []
+    for dp, _dn, fns in os.walk(f"{idx}/term_dict"):
+        for fn in fns:
+            if not fn.endswith(".parquet"):
+                continue
+            f = pq.ParquetFile(f"{dp}/{fn}")
+            terms = f.read(columns=["term"]).column("term").to_pylist()
+            if not terms:
+                continue
+            assert terms == sorted(terms), fn  # sorted within file
+            spans.append((terms[0], terms[-1]))
+    assert len(spans) > 1  # range-partitioned into multiple files
+    spans.sort()
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo  # disjoint ranges across files
+
+
 def test_term_dict_compaction_crash_rolls_forward(spark, tmp_path):
     """A compaction crash between the two term_dict renames leaves no
     term_dict dir but a complete staged replacement; readers and
