@@ -1347,6 +1347,7 @@ def append_runs_index(spark, index_path: str, new_docs: DataFrame,
     repair_interrupted_compaction(index_path, "runs")
     repair_interrupted_compaction(index_path, "doc_stats")
     repair_interrupted_compaction(index_path, "term_dict")
+    repair_interrupted_compaction(index_path, "fuzzy_dict")
     inflight = _find_inflight_batch(index_path)
     if batch_id is None:
         if inflight is not None:
@@ -1439,6 +1440,22 @@ def append_runs_index(spark, index_path: str, new_docs: DataFrame,
                 spark.read.parquet(f"{stage}/runs").groupBy("term").agg(
                     F.sum("df").cast("long").alias("df")),
                 f"{stage}/term_dict")
+        from cer_for_mti_spark.operators import fuzzy_dict as _fz
+
+        if _fz.has_fuzzy_dict(index_path):
+            # batch-local delete-variant delta: every batch containing a
+            # term stages the SAME variant set for it (deterministic in
+            # the term), so readers summing df per (variant, term) get
+            # the global df on every variant — same lazy-delta
+            # convention as term_dict. Depth comes from the sidecar's
+            # baked meta; pre-sidecar indexes stage nothing.
+            md = int(_fz.read_fuzzy_dict_meta(index_path)["max_dist"])
+            _fz._write_fuzzy_sorted(
+                _fz.fuzzy_rows(
+                    spark.read.parquet(f"{stage}/runs").groupBy("term").agg(
+                        F.sum("df").cast("long").alias("df")),
+                    md),
+                f"{stage}/fuzzy_dict")
         delta_ds.write.mode("overwrite").parquet(f"{stage}/doc_stats")
         with open(f"{stage}/_STAGED", "w") as f:
             f.write(f"{n_delta}\n")
@@ -1450,6 +1467,9 @@ def append_runs_index(spark, index_path: str, new_docs: DataFrame,
     if os.path.isdir(f"{stage}/term_dict"):
         units.append(("term_dict", f"{stage}/term_dict",
                       f"{index_path}/term_dict"))
+    if os.path.isdir(f"{stage}/fuzzy_dict"):
+        units.append(("fuzzy_dict", f"{stage}/fuzzy_dict",
+                      f"{index_path}/fuzzy_dict"))
     units.append(("doc_stats", f"{stage}/doc_stats",
                   f"{index_path}/doc_stats"))
     _commit_append_units(spark, index_path, batch_id, units, fail_after)
@@ -1772,6 +1792,7 @@ def compact_runs_index(spark, index_path: str, avgdl: float,
     Returns (runs_before, runs_after)."""
     repair_interrupted_compaction(index_path, "runs")
     repair_interrupted_compaction(index_path, "term_dict")
+    repair_interrupted_compaction(index_path, "fuzzy_dict")
     # manifest-aware: a manifest-mode index may hold uncommitted/torn
     # objects in the data dirs; compact only what the manifests commit
     runs = read_index_rel(spark, index_path, "runs", with_base_path=True)
@@ -1841,6 +1862,29 @@ def compact_runs_index(spark, index_path: str, avgdl: float,
         os.rename(f"{staging}/term_dict", final_td)
         shutil.rmtree(trash_td)
         shutil.rmtree(staging, ignore_errors=True)
+    from cer_for_mti_spark.operators import fuzzy_dict as _fz
+
+    had_fuzzy = os.path.isdir(f"{index_path}/fuzzy_dict")
+    if had_fuzzy:
+        # regenerate the delete-neighborhood sidecar from the compacted
+        # dictionary at its baked depth: per-batch deltas collapse to
+        # one sorted base and purged docs' df drops land here, exactly
+        # like term_dict. Same staged two-rename swap.
+        md = int(_fz.read_fuzzy_dict_meta(index_path)["max_dist"])
+        staging = f"{index_path}/.compact_staging"
+        _fz._write_fuzzy_sorted(
+            _fz.fuzzy_rows(
+                spark.read.parquet(f"{index_path}/runs").groupBy("term").agg(
+                    F.sum("df").cast("long").alias("df")),
+                md),
+            f"{staging}/fuzzy_dict")
+        final_fz = f"{index_path}/fuzzy_dict"
+        trash_fz = f"{index_path}/.fuzzy_dict_old"
+        shutil.rmtree(trash_fz, ignore_errors=True)
+        os.rename(final_fz, trash_fz)
+        os.rename(f"{staging}/fuzzy_dict", final_fz)
+        shutil.rmtree(trash_fz)
+        shutil.rmtree(staging, ignore_errors=True)
     if _index_commit_mode(index_path) == "manifest":
         # compaction is offline rename-based maintenance; regenerate the
         # manifests to point at the compacted files (old unit manifests
@@ -1853,6 +1897,9 @@ def compact_runs_index(spark, index_path: str, avgdl: float,
         if had_dict:
             _manifest_write(index_path, "base-term_dict",
                             _list_data_files(index_path, "term_dict"))
+        if had_fuzzy:
+            _manifest_write(index_path, "base-fuzzy_dict",
+                            _list_data_files(index_path, "fuzzy_dict"))
         if os.path.isdir(f"{index_path}/tombstones"):
             _manifest_write(index_path, "base-tombstones",
                             _list_data_files(index_path, "tombstones"))

@@ -148,6 +148,84 @@ def expand_fuzzy(queries: DataFrame, term_dict: DataFrame,
     return _rejoin(exp.unionByName(lit), queries)
 
 
+def expand_fuzzy_symspell(queries: DataFrame, cand: DataFrame,
+                          max_dist: int = 1,
+                          max_expansions: int = 50) -> DataFrame:
+    """Fuzzy rewrite from a SymSpell candidate superset — RANK-IDENTICAL
+    to expand_fuzzy with prefix_len=0 (edits allowed anywhere, including
+    the first character) but at vocabulary scale: `cand` is the
+    (pat, term, df) delete-neighborhood superset from
+    fuzzy_dict.read_fuzzy_candidates (persisted sidecar probe) or
+    fuzzy_dict.symspell_candidates (open dictionary), and the exact
+    Levenshtein filter runs over those candidates only — never the
+    dictionary. Cap order (distance ASC, df DESC, term ASC) and the
+    always-kept literal token mirror expand_fuzzy exactly."""
+    pats = _split_patterns(queries).select("query_id", "pat")
+    scored = (cand.withColumn("dist", F.levenshtein("term", "pat"))
+              .filter(F.col("dist") <= max_dist)
+              .join(F.broadcast(pats), "pat"))
+    w = Window.partitionBy("query_id", "pat").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term"))
+    exp = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_expansions)
+        .select("query_id", "term")
+    )
+    lit = pats.select("query_id", F.col("pat").alias("term"))
+    return _rejoin(exp.unionByName(lit), queries)
+
+
+def bm25_fuzzy_symspell(queries: DataFrame, doc_terms: DataFrame,
+                        doc_stats: DataFrame, n_docs: int, avgdl: float,
+                        k: int = 10, max_dist: int = 1,
+                        max_expansions: int = 50) -> DataFrame:
+    """SymSpell-expanded BM25 over the open relations (the DuckDB-oracle
+    twin): delete-neighborhood candidates off the derived dictionary,
+    exact-verify, then the declarative naive scorer. Equivalent by
+    construction to bm25_fuzzy with prefix_len=0 — the shape that
+    brute-force expansion cannot serve at a real vocabulary."""
+    from cer_for_mti_spark.operators import bm25
+    from cer_for_mti_spark.operators.fuzzy_dict import symspell_candidates
+
+    q_rows = queries.collect()
+    stems, lits = _patterns_driver_side(q_rows)
+    cand = symspell_candidates(
+        term_dict_from_doc_terms(doc_terms), sorted({*stems, *lits}),
+        max_dist=max_dist)
+    expanded = expand_fuzzy_symspell(queries, cand, max_dist=max_dist,
+                                     max_expansions=max_expansions)
+    return bm25.bm25_naive(expanded, doc_terms, doc_stats, n_docs, avgdl,
+                           k=k, mode="simple")
+
+
+def bm25_fuzzy_symspell_from_index(spark, index_path: str,
+                                   queries: DataFrame, n_docs: int,
+                                   avgdl: float, k: int = 10,
+                                   num_shards: int = 32, max_dist: int = 1,
+                                   max_expansions: int = 50,
+                                   tombstones="auto") -> DataFrame:
+    """The 10^12-doc / 10^8-term fuzzy-query shape: pattern delete
+    variants (driver-side, a handful) probe the index's persisted
+    fuzzy_dict sidecar with a pushed IN range seek, candidates are
+    exact-verified and capped, and the rewritten disjunction runs
+    through the sharded block-max scorer. No shared-prefix constraint at
+    all (Lucene prefixLength=0 semantics) and no vocabulary scan —
+    rank-identical to bm25_fuzzy(prefix_len=0) over the same corpus."""
+    from cer_for_mti_spark.operators import bm25
+    from cer_for_mti_spark.operators.fuzzy_dict import read_fuzzy_candidates
+
+    q_rows = queries.collect()
+    stems, lits = _patterns_driver_side(q_rows)
+    cand = read_fuzzy_candidates(spark, index_path,
+                                 sorted({*stems, *lits}),
+                                 max_dist=max_dist)
+    expanded = expand_fuzzy_symspell(queries, cand, max_dist=max_dist,
+                                     max_expansions=max_expansions)
+    return bm25.bm25_wand_sharded_from_index(
+        spark, index_path, expanded, n_docs, avgdl, k=k, mode="simple",
+        num_shards=num_shards, tombstones=tombstones)
+
+
 def term_dict_from_doc_terms(doc_terms: DataFrame) -> DataFrame:
     """(term, df) from the uncompressed (doc_id, term, tf) relation."""
     return doc_terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
