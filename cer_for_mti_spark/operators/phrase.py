@@ -24,6 +24,8 @@ import os
 import re
 import shutil
 from collections import defaultdict
+from functools import reduce
+from operator import or_
 
 import numpy as np
 import pandas as pd
@@ -289,6 +291,33 @@ _EMPTY_HITS = {
 }
 
 
+def _union_alternatives(parts: list) -> tuple:
+    """Union the decoded postings of ALTERNATIVE terms for one phrase
+    slot (Lucene MultiPhraseQuery semantics — a prefix-expanded slot
+    matches ANY of its completions). A doc may contain several
+    alternatives, so this is a true per-doc merge: occurrence positions
+    from every alternative, sorted within each doc; tf = total
+    occurrences. Distinct terms never share a position (one token per
+    position), so the packed (doc, pos) keys the match cores build stay
+    unique, and the slop core's searchsorted sees sorted keys."""
+    parts = [p for p in parts if len(p[0])]
+    if not parts:
+        z = np.array([], dtype=np.int64)
+        return z, z, z, z, z
+    if len(parts) == 1:
+        return parts[0]
+    # decoded parts are contiguous CSR (starts = ends - tfs), so the
+    # per-occurrence doc column is a straight repeat
+    all_docs = np.concatenate([np.repeat(p[0], p[1]) for p in parts])
+    all_pos = np.concatenate([p[4] for p in parts])
+    order = np.lexsort((all_pos, all_docs))
+    d, q = all_docs[order], all_pos[order]
+    ids, tfs = np.unique(d, return_counts=True)
+    tfs = tfs.astype(np.int64)
+    ends = np.cumsum(tfs)
+    return ids, tfs, ends - tfs, ends, q
+
+
 def _match_adjacency(qid: int, need: int, decoded: dict) -> pd.DataFrame:
     """Adjacency core shared by the merged and sharded phrase paths.
     decoded: {term_idx: (ids, tfs, starts, ends, pos)} — one decoded
@@ -411,7 +440,7 @@ DEFAULT_MAX_POSTING_BYTES = 256 << 20  # one task's posting-fetch budget
 def phrase_search(phrases: DataFrame, positional: DataFrame,
                   mode: str = "simple",
                   max_posting_bytes: int | None = DEFAULT_MAX_POSTING_BYTES,
-                  slop: int = 0) -> DataFrame:
+                  slop: int = 0, _want=None) -> DataFrame:
     """(phrase_id, phrase) x positional postings -> (phrase_id, doc_id,
     n_matches). Terms are broadcast-pruned; each phrase's postings are
     co-located with applyInPandas; adjacency is verified with numpy set
@@ -430,8 +459,12 @@ def phrase_search(phrases: DataFrame, positional: DataFrame,
     256 MiB — a task-memory budget), the task RAISES with a pointer to
     phrase_search_sharded, the bounded-task-bytes variant with identical
     results, instead of silently OOM-ing the executor. Pass None to
-    disable the guard."""
-    pairs, n_terms = _phrase_want(phrases, mode)
+    disable the guard.
+
+    `_want` (internal): a precomputed (pairs, n_terms) want-set — how
+    phrase_prefix_search injects MULTIPLE alternative terms per slot."""
+    pairs, n_terms = _want if _want is not None else _phrase_want(
+        phrases, mode)
     if not pairs:
         return phrases.sparkSession.createDataFrame([], PHRASE_HIT_SCHEMA)
     spark = phrases.sparkSession
@@ -453,12 +486,19 @@ def phrase_search(phrases: DataFrame, positional: DataFrame,
                     "build_positional_runs — result-identical with bounded "
                     "per-task bytes — or raise/disable the guard."
                 )
-        # a term may appear at several indices in one phrase
-        by_idx: dict[int, pd.Series] = {}
+        # a term may appear at several indices in one phrase, and a
+        # prefix-expanded slot carries several ALTERNATIVE terms at one
+        # index — group per (idx, term), then union alternatives per idx
+        by_idx: dict[int, dict[str, pd.Series]] = {}
         for j in range(len(pdf)):
             row = pdf.iloc[j]
-            by_idx.setdefault(int(row["term_idx"]), row)
-        decoded = {i: _decode_positional(r) for i, r in by_idx.items()}
+            by_idx.setdefault(int(row["term_idx"]), {}).setdefault(
+                str(row["term"]), row)
+        decoded = {
+            i: _union_alternatives(
+                [_decode_positional(r) for _, r in sorted(alts.items())])
+            for i, alts in by_idx.items()
+        }
         if slop:
             return _match_slop(qid, n_terms[qid], decoded, slop)
         return _match_adjacency(qid, n_terms[qid], decoded)
@@ -590,7 +630,8 @@ def _decode_rows_merged(rows: list) -> tuple:
 
 
 def phrase_search_sharded(phrases: DataFrame, pos_runs: DataFrame,
-                          mode: str = "simple", slop: int = 0) -> DataFrame:
+                          mode: str = "simple", slop: int = 0,
+                          _want=None) -> DataFrame:
     """Doc-range-sharded phrase search — result-identical to
     phrase_search, with BOUNDED per-task bytes.
 
@@ -603,8 +644,12 @@ def phrase_search_sharded(phrases: DataFrame, pos_runs: DataFrame,
     per task. Positions are doc-local and every posting of doc d lives
     in d's bucket, so bucket-local adjacency is exact and the final
     result is the plain UNION of per-bucket hits (hits are per
-    (phrase, doc); docs never span buckets) — no merge step at all."""
-    pairs, n_terms = _phrase_want(phrases, mode)
+    (phrase, doc); docs never span buckets) — no merge step at all.
+
+    `_want` (internal): a precomputed (pairs, n_terms) want-set — how
+    phrase_prefix_search_sharded injects alternative terms per slot."""
+    pairs, n_terms = _want if _want is not None else _phrase_want(
+        phrases, mode)
     if not pairs:
         return phrases.sparkSession.createDataFrame([], PHRASE_HIT_SCHEMA)
     spark = phrases.sparkSession
@@ -613,11 +658,18 @@ def phrase_search_sharded(phrases: DataFrame, pos_runs: DataFrame,
 
     def match(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
-        by_idx: dict[int, list] = defaultdict(list)
+        # per (idx, term): several RUNS of one term merge doc-disjointly;
+        # per idx: several alternative TERMS (prefix expansion) union
+        by_idx: dict[int, dict[str, list]] = {}
         for j in range(len(pdf)):
             row = pdf.iloc[j]
-            by_idx[int(row["term_idx"])].append(row)
-        decoded = {i: _decode_rows_merged(rs) for i, rs in by_idx.items()}
+            by_idx.setdefault(int(row["term_idx"]), {}).setdefault(
+                str(row["term"]), []).append(row)
+        decoded = {
+            i: _union_alternatives(
+                [_decode_rows_merged(rs) for _, rs in sorted(alts.items())])
+            for i, alts in by_idx.items()
+        }
         if slop:
             # positions are doc-local and a doc never spans buckets, so
             # bucket-local proximity is exact — same union argument as
@@ -729,6 +781,163 @@ def phrase_search_sharded_from_index(spark, index_path: str,
         F.col("shard").isin(shards) & F.col("term").isin(sorted(terms))
     )
     hits = phrase_search_sharded(phrases, pruned, mode, slop=slop)
+    return _drop_tombstoned_hits(spark, index_path, hits, tombstones)
+
+
+# --- phrase prefix (MultiPhraseQuery) -----------------------------------
+
+PHRASE_PREFIX_MAX_EXPANSIONS = 50
+
+
+def _split_prefix_tokens(query: str) -> list[tuple[str, bool]]:
+    """Whitespace tokens of a phrase query as (token_or_stem, is_prefix):
+    a trailing '*' with a non-empty stem marks a prefix slot — the same
+    marker convention as query_expand._split_patterns."""
+    out = []
+    for tok in _JAVA_WS_RE.split(query):
+        if not tok:
+            continue
+        if tok.endswith("*") and len(tok) > 1:
+            out.append((tok[:-1], True))
+        else:
+            out.append((tok, False))
+    return out
+
+
+def expand_phrase_want(phrases: DataFrame, terms_df: DataFrame,
+                       max_expansions: int = PHRASE_PREFIX_MAX_EXPANSIONS):
+    """(pairs, n_terms) want-set for a phrase batch whose tokens may
+    carry trailing-'*' prefix markers — the Lucene MultiPhraseQuery
+    rewrite: each prefix slot expands to its first `max_expansions`
+    dictionary completions in TERM ORDER (the order an FST/sorted-
+    dictionary enumeration yields them — deterministic and mirrored by
+    the `ORDER BY term LIMIT k` oracle; positional postings carry no
+    per-term df to rank by without decoding, so term order is also the
+    only cap the dictionary can serve as a pure range seek).
+
+    terms_df: any relation with a `term` column — the positional
+    postings/runs themselves (their term column IS the dictionary) or
+    the BM25 index's sorted term_dict sidecar. Stems are driver-side
+    literals, so the probe is a pushed OR of StringStartsWith filters
+    (file/row-group min-max pruning on a term-sorted layout — a range
+    seek, not a dictionary scan); the broadcast stem join afterward
+    only assigns stems to the pruned survivors.
+
+    A stem with no completion leaves its slot EMPTY: the phrase then
+    matches nothing (a slot that can't be filled admits no tuple) while
+    other phrases in the batch proceed. Only mode='simple' tokens carry
+    the marker — the chem analyzer may split a stem into several terms,
+    which has no single-slot meaning."""
+    from pyspark.sql import Window
+
+    rows = phrases.collect()
+    stems = sorted({
+        s for r in rows for s, isp in _split_prefix_tokens(r["query"]) if isp
+    })
+    exp: dict[str, list[str]] = {s: [] for s in stems}
+    if stems:
+        spark = phrases.sparkSession
+        sdf = spark.createDataFrame([(s,) for s in stems], "stem string")
+        w = Window.partitionBy("stem").orderBy(F.asc("term"))
+        pushed = reduce(or_, [F.col("term").startswith(F.lit(s))
+                              for s in stems])
+        hit = (
+            terms_df.select("term").filter(pushed).distinct()
+            .join(F.broadcast(sdf), F.col("term").startswith(F.col("stem")))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= int(max_expansions))
+            .select("stem", "term")
+        )
+        for r in hit.collect():
+            exp[r["stem"]].append(r["term"])
+    pairs, n_terms = [], {}
+    for r in rows:
+        qid = int(r["query_id"])
+        toks = _split_prefix_tokens(r["query"])
+        n_terms[qid] = max(n_terms.get(qid, 0), len(toks))
+        for i, (tok, isp) in enumerate(toks):
+            for t in (sorted(exp[tok]) if isp else [tok]):
+                pairs.append((qid, i, t))
+    return pairs, n_terms
+
+
+def _prefix_hits(phrases: DataFrame, want, search) -> DataFrame:
+    pairs, n_terms = want
+    spark = phrases.sparkSession
+    if not pairs:
+        return spark.createDataFrame([], PHRASE_HIT_SCHEMA)
+    return search(pairs, n_terms)
+
+
+def phrase_prefix_search(phrases: DataFrame, positional: DataFrame,
+                         terms_df: DataFrame | None = None,
+                         max_expansions: int = PHRASE_PREFIX_MAX_EXPANSIONS,
+                         max_posting_bytes: int | None =
+                         DEFAULT_MAX_POSTING_BYTES,
+                         slop: int = 0) -> DataFrame:
+    """Phrase search with trailing-'*' prefix slots over the merged
+    positional postings ("new yor*"): each prefix slot matches ANY of
+    its capped dictionary completions at that position
+    (MultiPhraseQuery). Non-prefix phrases in the batch behave exactly
+    like phrase_search. terms_df defaults to the positional relation
+    itself (its term column is the dictionary)."""
+    want = expand_phrase_want(
+        phrases, positional if terms_df is None else terms_df,
+        max_expansions)
+    return _prefix_hits(
+        phrases, want,
+        lambda pairs, n_terms: phrase_search(
+            phrases, positional, "simple",
+            max_posting_bytes=max_posting_bytes, slop=slop,
+            _want=(pairs, n_terms)))
+
+
+def phrase_prefix_search_sharded(phrases: DataFrame, pos_runs: DataFrame,
+                                 terms_df: DataFrame | None = None,
+                                 max_expansions: int =
+                                 PHRASE_PREFIX_MAX_EXPANSIONS,
+                                 slop: int = 0) -> DataFrame:
+    """Doc-range-sharded twin of phrase_prefix_search — identical hits,
+    bounded per-task bytes (a hot stem like 'th*' expands into stop-word
+    completions whose postings must never co-locate in one task)."""
+    want = expand_phrase_want(
+        phrases, pos_runs if terms_df is None else terms_df, max_expansions)
+    return _prefix_hits(
+        phrases, want,
+        lambda pairs, n_terms: phrase_search_sharded(
+            phrases, pos_runs, "simple", slop=slop,
+            _want=(pairs, n_terms)))
+
+
+def phrase_prefix_search_sharded_from_index(
+        spark, index_path: str, phrases: DataFrame, num_shards: int = 32,
+        max_expansions: int = PHRASE_PREFIX_MAX_EXPANSIONS, slop: int = 0,
+        tombstones="auto") -> DataFrame:
+    """The 10^12-doc phrase-prefix shape over a written positional-runs
+    index: the stem probes push StartsWith into the dictionary scan
+    (term column of the runs relation), then the EXPANDED term set and
+    its shards (a pure function of each term) prune the posting fetch
+    exactly like phrase_search_sharded_from_index — touch |expanded
+    terms| row groups, one bucket slice per task."""
+    from cer_for_mti_spark.operators.index_build import (
+        read_index_rel,
+        repair_interrupted_compaction,
+    )
+    from cer_for_mti_spark.functions.hashing import md5_60_py
+
+    repair_interrupted_compaction(index_path, "positional_runs")
+    rel = read_index_rel(spark, index_path, "positional_runs",
+                         with_base_path=True)
+    want = expand_phrase_want(phrases, rel, max_expansions)
+    pairs, n_terms = want
+    if not pairs:
+        return spark.createDataFrame([], PHRASE_HIT_SCHEMA)
+    terms = sorted({t for _, _, t in pairs})
+    shards = sorted({md5_60_py(t) % num_shards for t in terms})
+    pruned = rel.filter(
+        F.col("shard").isin(shards) & F.col("term").isin(terms))
+    hits = phrase_search_sharded(phrases, pruned, "simple", slop=slop,
+                                 _want=want)
     return _drop_tombstoned_hits(spark, index_path, hits, tombstones)
 
 
