@@ -67,6 +67,31 @@ FUZZY_QUERY_SET = [
     (3, "windoq tabel"),
 ]
 
+# SymSpell (delete-neighborhood) fuzzy set — prefixLength=0 semantics,
+# so FIRST-character typos must expand (the case every shared-prefix
+# pruning misses): substitution at position 0, deletion of the first
+# character, OOV (literal only, zero rows), and insertion typos.
+SYMSPELL_QUERY_SET = [
+    (0, "xcan"),
+    (1, "olumn"),
+    (2, "zzznope"),
+    (3, "mergee dataa"),
+]
+
+# phrase-prefix set: expanding slot mid-phrase, leading slot, repeated
+# prefix slots, an empty-expansion stem (phrase matches nothing while
+# the batch proceeds), and a plain phrase riding the same batch.
+# max_expansions=4 < the 6 completions of 's*' so the deterministic
+# term-order cap is exercised on both engines.
+PHRASE_PREFIX_SET = [
+    (0, "table s*"),
+    (1, "h* join"),
+    (2, "s* s*"),
+    (3, "zzq* the"),
+    (4, "the the"),
+]
+PHRASE_PREFIX_CAP = 4
+
 _T = "regexp_split_to_array(text, '\\s+')"
 _TOKS_CTE = (
     "toks AS (SELECT doc_id, t.term FROM documents, "
@@ -277,6 +302,42 @@ def q_bm25_fuzzy(spark, sf_dir):
                                     "query_id int, query string")
     return qe.bm25_fuzzy(queries, dt, ds, n, avgdl, k=10, max_dist=1,
                          prefix_len=1)
+
+
+def q_bm25_fuzzy_symspell(spark, sf_dir):
+    """Vocabulary-scale fuzzy retrieval (SymSpell delete-neighborhood,
+    Lucene FuzzyQuery prefixLength=0): candidates come from an EQUI-JOIN
+    on delete variants instead of a dictionary theta-join, then exact
+    Levenshtein verify over the (tiny) candidate set — rank-identical to
+    the brute-force prefix_len=0 expansion, which is what the oracle
+    computes in SQL. First-character typos (xcan -> scan, olumn ->
+    column) expand here and CANNOT under any shared-prefix scheme."""
+    from cer_for_mti_spark.operators import query_expand as qe
+
+    docs = _docs(spark, sf_dir)
+    dt = ib.build_doc_terms(docs).cache()
+    ds = ib.build_doc_stats(dt)
+    n, avgdl = ib.corpus_stats(ds)
+    queries = spark.createDataFrame(SYMSPELL_QUERY_SET,
+                                    "query_id int, query string")
+    return qe.bm25_fuzzy_symspell(queries, dt, ds, n, avgdl, k=10,
+                                  max_dist=1)
+
+
+def q_phrase_prefix(spark, sf_dir):
+    """Phrase search with trailing-'*' prefix slots (Lucene
+    MultiPhraseQuery): each marked slot expands to its first
+    PHRASE_PREFIX_CAP dictionary completions in term order and matches
+    ANY of them at that position; per-slot postings are unioned before
+    the adjacency core. Batch mixes mid-phrase/leading/repeated prefix
+    slots, an empty-expansion stem, and a plain phrase."""
+    from cer_for_mti_spark.operators import phrase as ph
+
+    positional = ph.build_positional_postings(_docs(spark, sf_dir))
+    qs = spark.createDataFrame(PHRASE_PREFIX_SET,
+                               "query_id int, query string")
+    return ph.phrase_prefix_search(qs, positional,
+                                   max_expansions=PHRASE_PREFIX_CAP)
 
 
 def q_stopword_filter(spark, sf_dir):
@@ -967,6 +1028,46 @@ def _phrase_near_sql(slop: int = NEAR_SLOP) -> str:
     return f"WITH {_TOKPOS0_CTE} " + " UNION ALL ".join(joins)
 
 
+def _phrase_prefix_sql(cap: int = None) -> str:
+    """MultiPhraseQuery oracle: a prefix slot's membership set is the
+    first `cap` DISTINCT completions in term order (the same
+    deterministic cap the engine's dictionary enumeration applies); a
+    slot with no completions admits no tuple, so that phrase returns no
+    rows. Adjacency offsets are fixed (pos0 + i) and one token occupies
+    one position, so count(*) counts start positions exactly as the
+    engine's unioned-postings core does."""
+    from cer_for_mti_spark.operators.phrase import _split_prefix_tokens
+
+    cap = PHRASE_PREFIX_CAP if cap is None else int(cap)
+    joins = []
+    for pid, p in PHRASE_PREFIX_SET:
+        toks = _split_prefix_tokens(p)
+        conds, tabs = [], []
+        for i, (tok, isp) in enumerate(toks):
+            tabs.append(f"tokpos t{i}")
+            if isp:
+                member = (
+                    f"t{i}.token IN (SELECT token FROM ("
+                    "SELECT DISTINCT token FROM tokpos "
+                    f"WHERE token LIKE '{tok}%' ORDER BY token LIMIT {cap}))"
+                )
+            else:
+                member = f"t{i}.token = '{tok}'"
+            if i:
+                conds.append(
+                    f"t{i}.doc_id = t0.doc_id AND t{i}.pos = t0.pos + {i} "
+                    f"AND {member}"
+                )
+            else:
+                conds.append(member)
+        joins.append(
+            f"SELECT {pid} AS phrase_id, t0.doc_id, count(*)::INT AS n_matches "
+            f"FROM {', '.join(tabs)} WHERE {' AND '.join(conds)} "
+            "GROUP BY 2"
+        )
+    return f"WITH {_TOKPOS0_CTE} " + " UNION ALL ".join(joins)
+
+
 def q_asof_join(spark, sf_dir):
     """Point-in-time as-of join: every event picks up the most recent
     prior (or simultaneous) state row of its user. Right side deduped per
@@ -1123,7 +1224,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bm25_tombstone, bm25_prefix, bm25_fuzzy) well inside any cap.
     r5 rotation: brat_parse/pubtator_parse (stable-green since r1,
     still golden-parity + extras-sweep covered) out; the prefix/fuzzy
-    expansion rows in."""
+    expansion rows in. Late-r5 rotation: bio_decode/wordpiece_merge
+    (stable-green since r1, golden-parity covered) out for
+    bm25_fuzzy_symspell (vocabulary-scale fuzzy) and phrase_prefix
+    (MultiPhraseQuery) — this round's retrieval features."""
     return {
         "doc_terms": q_doc_terms,
         "term_dictionary": q_term_dictionary,
@@ -1166,8 +1270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_terms_chem": q_doc_terms_chem,
         "bm25_prefix": q_bm25_prefix,
         "bm25_fuzzy": q_bm25_fuzzy,
-        "bio_decode": q_bio_decode,
-        "wordpiece_merge": q_wordpiece_merge,
+        "bm25_fuzzy_symspell": q_bm25_fuzzy_symspell,
+        "phrase_prefix": q_phrase_prefix,
         "bm25_exclude": q_bm25_exclude,
         "entity_class_counts": q_entity_class_counts,
         "token_span_join": q_token_span_join,
@@ -1195,6 +1299,10 @@ def queries_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       rotated out in r5 for bm25_prefix / bm25_fuzzy (the query-
       expansion retrieval features) — both formats stay covered by the
       golden-parity suite and this sweep;
+    - bio_decode / wordpiece_merge: stable-green driver rows since r1,
+      rotated out late in r5 for bm25_fuzzy_symspell / phrase_prefix —
+      both decoders stay covered by the golden-parity suite and this
+      sweep;
     - bootstrap_stats: numpy seed-13 RNG summary — its exact hash twin
       bootstrap_prf has a full driver oracle;
     - reference_golden_metrics: 26 golden rows asserted exactly in
@@ -1214,6 +1322,8 @@ def queries_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reference_golden_metrics": q_reference_golden_metrics,
         "brat_parse": q_brat_parse,
         "pubtator_parse": q_pubtator_parse,
+        "bio_decode": q_bio_decode,
+        "wordpiece_merge": q_wordpiece_merge,
     }
 
 
@@ -1866,8 +1976,13 @@ def oracle_sql() -> dict[str, str]:
             max_expansions=PREFIX_MAX_EXPANSIONS),
         "bm25_fuzzy": _bm25_expand_sql(
             "fuzzy", FUZZY_QUERY_SET, max_dist=1, prefix_len=1),
-        "bio_decode": _bio_decode_sql(),
-        "wordpiece_merge": _wordpiece_merge_sql(),
+        # prefix_len=0 IS the symspell contract: the delete-neighborhood
+        # candidate join is rank-identical to the unrestricted fuzzy
+        # theta-join (tests/test_fuzzy_dict.py proves it), so the oracle
+        # expands brute-force with no shared-prefix constraint.
+        "bm25_fuzzy_symspell": _bm25_expand_sql(
+            "fuzzy", SYMSPELL_QUERY_SET, max_dist=1, prefix_len=0),
+        "phrase_prefix": _phrase_prefix_sql(),
         "entity_class_counts": f"""
 WITH {_GOLD_CTE},
 sel AS (SELECT doc_id, term, {_H_SQL} AS h FROM gold WHERE {_H_SQL} % 5 = 0)
@@ -2142,4 +2257,6 @@ FROM events GROUP BY 1
         "sentencepiece_merge": _sentencepiece_merge_sql(),
         "brat_parse": _brat_parse_sql(),
         "pubtator_parse": _pubtator_parse_sql(),
+        "bio_decode": _bio_decode_sql(),
+        "wordpiece_merge": _wordpiece_merge_sql(),
     }

@@ -51,11 +51,13 @@ CORPUS = f"{WORK}/corpus_{SCALE_DOCS}"
 POS_IDX = f"{WORK}/pos_idx_{SCALE_DOCS}"
 POS_RUNS_IDX = f"{WORK}/pos_runs_idx_{SCALE_DOCS}"
 ANN_IDX = f"{WORK}/ann_idx_{SCALE_DOCS}"
+BM25_RUNS_IDX = f"{WORK}/bm25_runs_idx_{SCALE_DOCS}"
 
 QUERY_NAMES = [
     "tpch_q1", "top_orders", "doc_terms", "bm25_topk", "bm25_wand_sharded",
     "minhash_lsh", "embedding_near_dup", "sessionize", "embedding_topk",
-    "quality", "bm25_prefix", "bm25_fuzzy",
+    "quality", "bm25_prefix", "bm25_fuzzy", "bm25_fuzzy_symspell",
+    "phrase_prefix",
 ]
 
 # 29 distinct ultra-hot terms prepended to EVERY doc of the skew variant
@@ -143,11 +145,15 @@ def _phase_aux_build() -> None:
             f"{POS_IDX}/positional/_SUCCESS",
             f"{POS_RUNS_IDX}/positional_runs/_SUCCESS",
             f"{ANN_IDX}/codes/_SUCCESS",
+            f"{BM25_RUNS_IDX}/fuzzy_dict/_SUCCESS",
         ]
     )
     if done:
         print(json.dumps({"ok": True}))
         return
+    from cer_for_mti_spark.operators import fuzzy_dict as fz
+    from cer_for_mti_spark.operators import index_build as ib
+
     spark = _fresh_spark(CPUS)
     docs = spark.read.parquet(CORPUS)
     ph.write_positional_index(
@@ -157,6 +163,16 @@ def _phase_aux_build() -> None:
         ph.build_positional_runs(docs), f"{POS_RUNS_IDX}",
         num_shards=32, docs=docs,
     )
+    # BM25 RUNS index + SymSpell delete-neighborhood sidecar: the
+    # vocabulary-scale fuzzy query path (sidecar IN-probe -> exact
+    # verify -> sharded block-max WAND)
+    dt = ib.build_doc_terms(docs)
+    ds = ib.build_doc_stats(dt)
+    n, avgdl = ib.corpus_stats(ds)
+    runs = ib.build_posting_runs(dt, ds, avgdl, n_docs=n)
+    shutil.rmtree(BM25_RUNS_IDX, ignore_errors=True)
+    ib.write_runs_index(runs, ds, f"{BM25_RUNS_IDX}", num_shards=32)
+    fz.write_fuzzy_dict(spark, f"{BM25_RUNS_IDX}", max_dist=1)
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     sim.write_ann_index(emb, f"{ANN_IDX}", n_centroids=16, m=8, ks=16)
     spark.stop()
@@ -288,6 +304,39 @@ def _phase_queries() -> None:
                                         phrases,
                                         base_df=runs_base).count()
     timings["phrase_30q_sharded"] = round(time.time() - t0, 3)
+
+    # phrase PREFIX (MultiPhraseQuery) over the same sharded positional
+    # index: final token of each phrase becomes a 3-char stem — the
+    # dictionary enumeration + per-slot postings union on top of the
+    # sharded matcher
+    pfx_rows = [
+        (i, " ".join(q.split()[:-1] + [q.split()[-1][:3] + "*"]))
+        for i, q in qrows
+    ]
+    pfx = spark.createDataFrame(pfx_rows, "query_id int, query string")
+    t0 = time.time()
+    ph.phrase_prefix_search_sharded_from_index(
+        spark, f"{POS_RUNS_IDX}", pfx).count()
+    timings["phrase_prefix_30q_sharded"] = round(time.time() - t0, 3)
+
+    # SymSpell fuzzy over the written runs index: pattern delete
+    # variants probe the persisted fuzzy_dict sidecar (pushed IN range
+    # seek), exact-verify, then sharded block-max WAND. Patterns are
+    # first-character mutations — the typo class NO shared-prefix
+    # pruning can expand, i.e. the sidecar's whole reason to exist.
+    from cer_for_mti_spark.operators import query_expand as qe
+
+    fz_rows = [
+        (i, " ".join(
+            ("q" + t[1:]) if t.startswith("x") else ("x" + t[1:])
+            for t in q.split()))
+        for i, q in qrows
+    ]
+    fz_qs = spark.createDataFrame(fz_rows, "query_id int, query string")
+    t0 = time.time()
+    qe.bm25_fuzzy_symspell_from_index(
+        spark, f"{BM25_RUNS_IDX}", fz_qs, n, avgdl, k=10).count()
+    timings["bm25_symspell_from_index_30q"] = round(time.time() - t0, 3)
 
     # persisted-ANN query path: probe-list partition pruning + ADC scan
     # over the written IVF-PQ index (aux_build), 30 queries in one batch
