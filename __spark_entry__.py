@@ -78,6 +78,17 @@ SYMSPELL_QUERY_SET = [
     (3, "mergee dataa"),
 ]
 
+# generalized wildcard set ('?' = one char, '*' = any run, anywhere):
+# infix '?', LEADING '*' (the shape prefix expansion can't serve),
+# bounded-both-ends patterns, and an empty-expansion pattern (no
+# literal kept for wildcard tokens -> zero rows for that query).
+WILDCARD_QUERY_SET = [
+    (0, "d?p merge"),
+    (1, "*ow data"),
+    (2, "s?an qu*y"),
+    (3, "zz*q"),
+]
+
 # phrase-prefix set: expanding slot mid-phrase, leading slot, repeated
 # prefix slots, an empty-expansion stem (phrase matches nothing while
 # the batch proceeds), and a plain phrase riding the same batch.
@@ -322,6 +333,22 @@ def q_bm25_fuzzy_symspell(spark, sf_dir):
                                     "query_id int, query string")
     return qe.bm25_fuzzy_symspell(queries, dt, ds, n, avgdl, k=10,
                                   max_dist=1)
+
+
+def q_bm25_wildcard(spark, sf_dir):
+    """Generalized wildcard retrieval (Lucene WildcardQuery): '*' and
+    '?' anywhere in a token — leading, infix, trailing — expand against
+    the dictionary by anchored glob with the prefix cap order
+    (df DESC, term ASC); the oracle rewrites the glob to SQL LIKE."""
+    from cer_for_mti_spark.operators import query_expand as qe
+
+    docs = _docs(spark, sf_dir)
+    dt = ib.build_doc_terms(docs).cache()
+    ds = ib.build_doc_stats(dt)
+    n, avgdl = ib.corpus_stats(ds)
+    queries = spark.createDataFrame(WILDCARD_QUERY_SET,
+                                    "query_id int, query string")
+    return qe.bm25_wildcard(queries, dt, ds, n, avgdl, k=10)
 
 
 def q_phrase_prefix(spark, sf_dir):
@@ -1324,6 +1351,7 @@ def queries_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pubtator_parse": q_pubtator_parse,
         "bio_decode": q_bio_decode,
         "wordpiece_merge": q_wordpiece_merge,
+        "bm25_wildcard": q_bm25_wildcard,
     }
 
 
@@ -1425,6 +1453,42 @@ def _bm25_expand_sql(kind: str, query_set, max_expansions: int = 50,
   SELECT query_id, pat FROM pat)"""
     else:
         raise ValueError(kind)
+    qt = "qt AS (SELECT DISTINCT query_id, term FROM exp)"
+    return _bm25_sql(qt_ctes=", ".join([pat, dic, exp, qt]))
+
+
+def _bm25_wildcard_sql(query_set, max_expansions: int = 50) -> str:
+    """BM25 over a generalized-wildcard expansion — the DuckDB twin of
+    query_expand.expand_wildcard: the glob rewrites to LIKE ('*' -> '%',
+    '?' -> '_'), capped per pattern by (df DESC, term ASC); wildcard
+    tokens keep NO literal (unlike fuzzy), literal tokens pass through."""
+    rows = []
+    for qid, q in query_set:
+        for tok in dict.fromkeys(q.split()):
+            if "*" in tok or "?" in tok:
+                rows.append(
+                    (qid, tok, tok.replace("*", "%").replace("?", "_"),
+                     "true"))
+            else:
+                rows.append((qid, tok, tok, "false"))
+    assert all(
+        p.replace("*", "").replace("?", "").replace("-", "").isalnum()
+        for _, p, _, _ in rows
+    ), "wildcard patterns must be LIKE-safe with non-empty literals"
+    vals = ", ".join(f"({qid}, '{p}', '{lk}', {w})"
+                     for qid, p, lk, w in rows)
+    pat = (f"pat AS (SELECT * FROM (VALUES {vals}) "
+           "AS p(query_id, pat, like_pat, is_wild))")
+    dic = "dict AS (SELECT term, count(*)::DOUBLE AS df FROM dt GROUP BY 1)"
+    exp = f"""exp AS (
+  SELECT query_id, term FROM (
+    SELECT p.query_id, p.pat, d.term,
+           row_number() OVER (PARTITION BY p.query_id, p.pat
+               ORDER BY d.df DESC, d.term ASC) AS rn
+    FROM pat p JOIN dict d ON d.term LIKE p.like_pat
+    WHERE p.is_wild) WHERE rn <= {int(max_expansions)}
+  UNION
+  SELECT query_id, pat FROM pat WHERE NOT is_wild)"""
     qt = "qt AS (SELECT DISTINCT query_id, term FROM exp)"
     return _bm25_sql(qt_ctes=", ".join([pat, dic, exp, qt]))
 
@@ -2259,4 +2323,5 @@ FROM events GROUP BY 1
         "pubtator_parse": _pubtator_parse_sql(),
         "bio_decode": _bio_decode_sql(),
         "wordpiece_merge": _wordpiece_merge_sql(),
+        "bm25_wildcard": _bm25_wildcard_sql(WILDCARD_QUERY_SET),
     }

@@ -231,6 +231,157 @@ def term_dict_from_doc_terms(doc_terms: DataFrame) -> DataFrame:
     return doc_terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
 
+# --- generalized wildcard (Lucene WildcardQuery) -------------------------
+
+def _wildcard_literal_prefix(pat: str) -> str:
+    """Characters before the first wildcard ('*' or '?') — Lucene's
+    automaton seek point: the dictionary enumeration starts at this
+    prefix, and everything outside it is pruned without inspection."""
+    for i, c in enumerate(pat):
+        if c in "*?":
+            return pat[:i]
+    return pat
+
+
+def _wildcard_regex(pat: str) -> str:
+    """Anchored Java/RE2 regex for a glob pattern: '*' -> '.*',
+    '?' -> '.', literal runs quoted with \\Q...\\E (both engines honor
+    the quoting, so chemistry tokens with brackets/dashes stay
+    literal)."""
+    out, lit = ["^"], []
+
+    def flush():
+        if lit:
+            out.append("\\Q" + "".join(lit) + "\\E")
+            lit.clear()
+
+    for c in pat:
+        if c == "*":
+            flush()
+            out.append(".*")
+        elif c == "?":
+            flush()
+            out.append(".")
+        else:
+            lit.append(c)
+    flush()
+    out.append("$")
+    return "".join(out)
+
+
+def _split_wildcards_driver_side(queries_rows):
+    """Per-batch (wildcard pats, literal toks) — a token is a wildcard
+    pattern iff it contains '*' or '?'. A pattern whose literal content
+    is empty ('*', '**', '?' alone would rewrite to MatchAllDocs /
+    single-char-vocabulary scans) is refused: its expansion is unbounded
+    in the vocabulary and never what a retrieval query means."""
+    pats, lits = set(), set()
+    for r in queries_rows:
+        for tok in (r["query"] or "").split():
+            if "*" in tok or "?" in tok:
+                if not tok.replace("*", "").replace("?", ""):
+                    raise ValueError(
+                        f"wildcard pattern {tok!r} has no literal "
+                        "characters — refusing the match-all rewrite")
+                pats.add(tok)
+            else:
+                lits.add(tok)
+    return sorted(pats), sorted(lits)
+
+
+def expand_wildcard(queries: DataFrame, term_dict: DataFrame,
+                    max_expansions: int = 50) -> DataFrame:
+    """Lucene WildcardQuery rewrite: tokens containing '*' (any run) or
+    '?' (exactly one char) anywhere — leading, infix, trailing, mixed —
+    expand to the dictionary terms matching the anchored glob, capped
+    per pattern by (df DESC, term ASC) like expand_prefix; literal
+    tokens pass through. 'foo*' through here equals expand_prefix
+    exactly (tested). The expansion itself is a broadcast of the few
+    patterns against the vocabulary-sized dictionary with an rlike
+    verify; what makes it cheap at a real vocabulary is the caller
+    pruning the dictionary to each pattern's literal PREFIX first
+    (bm25_wildcard_sharded_from_index)."""
+    q_rows = queries.select("query_id", "query").collect()
+    spark = queries.sparkSession
+    pat_rows = []
+    for r in q_rows:
+        wilds, lits = _split_wildcards_driver_side([r])
+        for p in wilds:
+            pat_rows.append((int(r["query_id"]), p, _wildcard_regex(p),
+                             True))
+        for t in lits:
+            pat_rows.append((int(r["query_id"]), t, "", False))
+    if not pat_rows:
+        return _rejoin(
+            spark.createDataFrame([], "query_id int, term string"), queries)
+    pv = spark.createDataFrame(
+        pat_rows, "query_id int, pat string, rx string, is_wild boolean")
+    lit = (pv.filter(~F.col("is_wild"))
+           .select("query_id", F.col("pat").alias("term")))
+    cand = term_dict.join(
+        F.broadcast(pv.filter("is_wild")),
+        F.expr("rlike(term, rx)"),
+    )
+    w = Window.partitionBy("query_id", "pat").orderBy(
+        F.desc("df"), F.asc("term"))
+    exp = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(max_expansions))
+        .select("query_id", "term")
+    )
+    return _rejoin(exp.unionByName(lit), queries)
+
+
+def bm25_wildcard(queries: DataFrame, doc_terms: DataFrame,
+                  doc_stats: DataFrame, n_docs: int, avgdl: float,
+                  k: int = 10, max_expansions: int = 50) -> DataFrame:
+    """Wildcard-expanded BM25 over the open relations (the DuckDB-oracle
+    twin — the oracle rewrites the glob to LIKE with the same cap)."""
+    from cer_for_mti_spark.operators import bm25
+
+    expanded = expand_wildcard(
+        queries, term_dict_from_doc_terms(doc_terms), max_expansions)
+    return bm25.bm25_naive(expanded, doc_terms, doc_stats, n_docs, avgdl,
+                           k=k, mode="simple")
+
+
+def bm25_wildcard_sharded_from_index(spark, index_path: str,
+                                     queries: DataFrame, n_docs: int,
+                                     avgdl: float, k: int = 10,
+                                     num_shards: int = 32,
+                                     max_expansions: int = 50,
+                                     allow_leading: bool = False,
+                                     tombstones="auto") -> DataFrame:
+    """Index-scan wildcard retrieval: each pattern's literal PREFIX (the
+    characters before its first wildcard — Lucene's automaton seek
+    point) prunes the sorted term_dict sidecar as a pushed StartsWith
+    range seek, the residual glob verifies by regex on the pruned slice,
+    and the rewritten disjunction runs through the sharded block-max
+    scorer. A LEADING-wildcard pattern ('*tion') has an empty seek
+    prefix — its expansion must scan the whole dictionary (vocabulary-
+    sized, Heaps-sublinear, but still the shape a reversed-dictionary
+    sidecar exists for), so it is REFUSED unless allow_leading=True
+    makes the cost explicit."""
+    from cer_for_mti_spark.operators import bm25
+
+    q_rows = queries.collect()
+    wilds, _lits = _split_wildcards_driver_side(q_rows)
+    seeks = {_wildcard_literal_prefix(p) for p in wilds}
+    if "" in seeks and not allow_leading:
+        raise ValueError(
+            "leading-wildcard pattern(s) have no literal prefix to seek "
+            "— the dictionary scan is unprunable; pass "
+            "allow_leading=True to accept the full-vocabulary "
+            "enumeration, or index a reversed dictionary."
+        )
+    td = term_dict_from_runs_index(
+        spark, index_path, None if "" in seeks else sorted(seeks))
+    expanded = expand_wildcard(queries, td, max_expansions)
+    return bm25.bm25_wand_sharded_from_index(
+        spark, index_path, expanded, n_docs, avgdl, k=k, mode="simple",
+        num_shards=num_shards, tombstones=tombstones)
+
+
 def _patterns_driver_side(queries_rows) -> tuple[list[str], list[str]]:
     """(prefix stems, literal/fuzzy pats) from a collected query batch —
     mirrors _split_patterns for the from-index scan pruning."""

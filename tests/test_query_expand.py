@@ -205,3 +205,82 @@ def test_empty_and_duplicate_patterns(spark):
     res = qe.bm25_prefix(qs, dt, ds, n, avgdl, k=10)
     got = _key(res)
     assert {q for q, *_ in got} == {1}  # only the non-empty query scores
+
+
+# --- generalized wildcard (Lucene WildcardQuery) -------------------------
+
+def test_expand_wildcard_ground_truth(spark):
+    """'?' = exactly one char, '*' = any run, anywhere in the token;
+    literal tokens pass through; cap order mirrors expand_prefix."""
+    dt = ib.build_doc_terms(_corpus(spark))
+    td = qe.term_dict_from_doc_terms(dt)
+    qs = spark.createDataFrame(
+        [(0, "d?g base"), (1, "*ase"), (2, "d*t*"), (3, "da*a"),
+         (4, "zzz*zzz")],
+        "query_id int, query string")
+    got = _expanded_map(qe.expand_wildcard(qs, td, max_expansions=50))
+    assert got[0] == {"dog", "base"}
+    assert got[1] == {"base", "database"}          # leading wildcard
+    assert got[2] == {"data", "database", "dates"}  # infix
+    assert got[3] == {"data"}                       # bounded both ends
+    assert got[4] == set()  # no completion -> empty query, no literal
+
+    # cap order df DESC, term ASC: d*t* capped at 2 keeps data (df 4)
+    # then database (df 2 < dates alphabetically)
+    capped = _expanded_map(qe.expand_wildcard(qs, td, max_expansions=2))
+    assert capped[2] == {"data", "database"}
+
+
+def test_wildcard_trailing_star_equals_prefix(spark):
+    """A trailing-'*'-only pattern through the wildcard path is exactly
+    expand_prefix (same candidates, same cap order)."""
+    dt = ib.build_doc_terms(_corpus(spark))
+    td = qe.term_dict_from_doc_terms(dt)
+    qs = spark.createDataFrame([(0, "dat* dog"), (1, "zzz* base")],
+                               "query_id int, query string")
+    for cap in (2, 50):
+        a = _expanded_map(qe.expand_wildcard(qs, td, max_expansions=cap))
+        b = _expanded_map(qe.expand_prefix(qs, td, max_expansions=cap))
+        assert a == b
+
+
+def test_wildcard_matchall_refused(spark):
+    dt = ib.build_doc_terms(_corpus(spark))
+    td = qe.term_dict_from_doc_terms(dt)
+    for bad in ("*", "**", "?", "*?"):
+        qs = spark.createDataFrame([(0, f"{bad} data")],
+                                   "query_id int, query string")
+        with pytest.raises(ValueError, match="no literal characters"):
+            qe.expand_wildcard(qs, td)
+
+
+def test_bm25_wildcard_from_index_identity_and_leading_guard(
+        spark, tmp_path):
+    docs = datagen.generate_webtext(spark, 300, seed=11).cache()
+    dt = ib.build_doc_terms(docs).cache()
+    ds = ib.build_doc_stats(dt)
+    n, avgdl = ib.corpus_stats(ds)
+    runs = ib.build_posting_runs(dt, ds, avgdl, salt=4, n_docs=n)
+    idx = str(tmp_path / "wc_idx")
+    ib.write_runs_index(runs, ds, idx, num_shards=4)
+
+    qs = spark.createDataFrame(
+        [(0, "s?stem join"), (1, "da*a"), (2, "t*m*")],
+        "query_id int, query string")
+    mem = _key(qe.bm25_wildcard(qs, dt, ds, n, avgdl, k=10,
+                                max_expansions=4))
+    viaidx = _key(qe.bm25_wildcard_sharded_from_index(
+        spark, idx, qs, n, avgdl, k=10, num_shards=4, max_expansions=4))
+    assert mem == viaidx and mem
+
+    # leading wildcard: refused by default, identical when allowed
+    lead = spark.createDataFrame([(0, "*stem join")],
+                                 "query_id int, query string")
+    with pytest.raises(ValueError, match="allow_leading"):
+        qe.bm25_wildcard_sharded_from_index(
+            spark, idx, lead, n, avgdl, k=10, num_shards=4)
+    got = _key(qe.bm25_wildcard_sharded_from_index(
+        spark, idx, lead, n, avgdl, k=10, num_shards=4,
+        allow_leading=True))
+    want = _key(qe.bm25_wildcard(lead, dt, ds, n, avgdl, k=10))
+    assert got == want and got
