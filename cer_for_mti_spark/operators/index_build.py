@@ -1348,6 +1348,7 @@ def append_runs_index(spark, index_path: str, new_docs: DataFrame,
     repair_interrupted_compaction(index_path, "doc_stats")
     repair_interrupted_compaction(index_path, "term_dict")
     repair_interrupted_compaction(index_path, "fuzzy_dict")
+    repair_interrupted_compaction(index_path, "rev_dict")
     inflight = _find_inflight_batch(index_path)
     if batch_id is None:
         if inflight is not None:
@@ -1456,6 +1457,15 @@ def append_runs_index(spark, index_path: str, new_docs: DataFrame,
                         F.sum("df").cast("long").alias("df")),
                     md),
                 f"{stage}/fuzzy_dict")
+        from cer_for_mti_spark.operators import rev_dict as _rv
+
+        if _rv.has_rev_dict(index_path):
+            # reversed-dictionary delta, same batch-local-df convention
+            _rv._write_rev_sorted(
+                _rv.rev_rows(
+                    spark.read.parquet(f"{stage}/runs").groupBy("term").agg(
+                        F.sum("df").cast("long").alias("df"))),
+                f"{stage}/rev_dict")
         delta_ds.write.mode("overwrite").parquet(f"{stage}/doc_stats")
         with open(f"{stage}/_STAGED", "w") as f:
             f.write(f"{n_delta}\n")
@@ -1470,6 +1480,9 @@ def append_runs_index(spark, index_path: str, new_docs: DataFrame,
     if os.path.isdir(f"{stage}/fuzzy_dict"):
         units.append(("fuzzy_dict", f"{stage}/fuzzy_dict",
                       f"{index_path}/fuzzy_dict"))
+    if os.path.isdir(f"{stage}/rev_dict"):
+        units.append(("rev_dict", f"{stage}/rev_dict",
+                      f"{index_path}/rev_dict"))
     units.append(("doc_stats", f"{stage}/doc_stats",
                   f"{index_path}/doc_stats"))
     _commit_append_units(spark, index_path, batch_id, units, fail_after)
@@ -1793,6 +1806,7 @@ def compact_runs_index(spark, index_path: str, avgdl: float,
     repair_interrupted_compaction(index_path, "runs")
     repair_interrupted_compaction(index_path, "term_dict")
     repair_interrupted_compaction(index_path, "fuzzy_dict")
+    repair_interrupted_compaction(index_path, "rev_dict")
     # manifest-aware: a manifest-mode index may hold uncommitted/torn
     # objects in the data dirs; compact only what the manifests commit
     runs = read_index_rel(spark, index_path, "runs", with_base_path=True)
@@ -1885,6 +1899,25 @@ def compact_runs_index(spark, index_path: str, avgdl: float,
         os.rename(f"{staging}/fuzzy_dict", final_fz)
         shutil.rmtree(trash_fz)
         shutil.rmtree(staging, ignore_errors=True)
+    from cer_for_mti_spark.operators import rev_dict as _rv
+
+    had_rev = os.path.isdir(f"{index_path}/rev_dict")
+    if had_rev:
+        # regenerate the reversed dictionary from the compacted runs —
+        # deltas collapse to one sorted base, purged df drops land here
+        staging = f"{index_path}/.compact_staging"
+        _rv._write_rev_sorted(
+            _rv.rev_rows(
+                spark.read.parquet(f"{index_path}/runs").groupBy("term").agg(
+                    F.sum("df").cast("long").alias("df"))),
+            f"{staging}/rev_dict")
+        final_rv = f"{index_path}/rev_dict"
+        trash_rv = f"{index_path}/.rev_dict_old"
+        shutil.rmtree(trash_rv, ignore_errors=True)
+        os.rename(final_rv, trash_rv)
+        os.rename(f"{staging}/rev_dict", final_rv)
+        shutil.rmtree(trash_rv)
+        shutil.rmtree(staging, ignore_errors=True)
     if _index_commit_mode(index_path) == "manifest":
         # compaction is offline rename-based maintenance; regenerate the
         # manifests to point at the compacted files (old unit manifests
@@ -1900,6 +1933,9 @@ def compact_runs_index(spark, index_path: str, avgdl: float,
         if had_fuzzy:
             _manifest_write(index_path, "base-fuzzy_dict",
                             _list_data_files(index_path, "fuzzy_dict"))
+        if had_rev:
+            _manifest_write(index_path, "base-rev_dict",
+                            _list_data_files(index_path, "rev_dict"))
         if os.path.isdir(f"{index_path}/tombstones"):
             _manifest_write(index_path, "base-tombstones",
                             _list_data_files(index_path, "tombstones"))

@@ -243,6 +243,15 @@ def _wildcard_literal_prefix(pat: str) -> str:
     return pat
 
 
+def _wildcard_literal_suffix(pat: str) -> str:
+    """Characters after the LAST wildcard — the seek point on a REVERSED
+    dictionary (Solr ReversedWildcardFilter): '*tion' seeks 'noit*'."""
+    for i in range(len(pat) - 1, -1, -1):
+        if pat[i] in "*?":
+            return pat[i + 1:]
+    return pat
+
+
 def _wildcard_regex(pat: str) -> str:
     """Anchored Java/RE2 regex for a glob pattern: '*' -> '.*',
     '?' -> '.', literal runs quoted with \\Q...\\E (both engines honor
@@ -358,24 +367,62 @@ def bm25_wildcard_sharded_from_index(spark, index_path: str,
     range seek, the residual glob verifies by regex on the pruned slice,
     and the rewritten disjunction runs through the sharded block-max
     scorer. A LEADING-wildcard pattern ('*tion') has an empty seek
-    prefix — its expansion must scan the whole dictionary (vocabulary-
-    sized, Heaps-sublinear, but still the shape a reversed-dictionary
-    sidecar exists for), so it is REFUSED unless allow_leading=True
-    makes the cost explicit."""
+    prefix; if the index carries the REVERSED-dictionary sidecar
+    (rev_dict.write_rev_dict — Solr's ReversedWildcardFilter), its
+    literal SUFFIX seeks that layout as the prefix 'noit*' instead, so
+    the probe stays a range seek. A pattern open at BOTH ends
+    ('*data*'), or a leading wildcard on an index without the sidecar,
+    is unprunable and REFUSED unless allow_leading=True makes the
+    full-vocabulary enumeration explicit."""
     from cer_for_mti_spark.operators import bm25
+    from cer_for_mti_spark.operators.rev_dict import (
+        has_rev_dict,
+        read_rev_dict_terms,
+    )
 
     q_rows = queries.collect()
     wilds, _lits = _split_wildcards_driver_side(q_rows)
-    seeks = {_wildcard_literal_prefix(p) for p in wilds}
-    if "" in seeks and not allow_leading:
+    use_rev = has_rev_dict(index_path)
+    fwd_seeks, rev_seeks, unprunable = set(), set(), []
+    for p in wilds:
+        pre = _wildcard_literal_prefix(p)
+        if pre:
+            fwd_seeks.add(pre)
+            continue
+        suf = _wildcard_literal_suffix(p)
+        if suf and use_rev:
+            rev_seeks.add(suf)
+        else:
+            unprunable.append(p)
+    if unprunable and not allow_leading:
         raise ValueError(
-            "leading-wildcard pattern(s) have no literal prefix to seek "
-            "— the dictionary scan is unprunable; pass "
+            f"wildcard pattern(s) {unprunable!r} have no literal prefix "
+            "to seek"
+            + ("" if use_rev else
+               " and this index has no reversed-dictionary sidecar "
+               "(rev_dict.write_rev_dict)")
+            + " — the dictionary scan is unprunable; pass "
             "allow_leading=True to accept the full-vocabulary "
-            "enumeration, or index a reversed dictionary."
+            "enumeration."
         )
-    td = term_dict_from_runs_index(
-        spark, index_path, None if "" in seeks else sorted(seeks))
+    if unprunable:
+        td = term_dict_from_runs_index(spark, index_path, None)
+    else:
+        parts = []
+        if fwd_seeks:
+            parts.append(term_dict_from_runs_index(
+                spark, index_path, sorted(fwd_seeks)))
+        if rev_seeks:
+            parts.append(read_rev_dict_terms(
+                spark, index_path, sorted(rev_seeks)))
+        if not parts:
+            parts = [term_dict_from_runs_index(spark, index_path, [])]
+        td = parts[0]
+        for extra in parts[1:]:
+            td = td.unionByName(extra)
+        # both sources carry the same global df per term; collapse the
+        # overlap so the per-pattern cap never counts a term twice
+        td = td.groupBy("term").agg(F.max("df").alias("df"))
     expanded = expand_wildcard(queries, td, max_expansions)
     return bm25.bm25_wand_sharded_from_index(
         spark, index_path, expanded, n_docs, avgdl, k=k, mode="simple",

@@ -330,3 +330,58 @@ def test_stream_append_ann_index(spark, tmp_path):
     assert bids and all(b.startswith("stream-") for b in bids)
     assert similarity.append_ann_index(spark, idx, new,
                                        batch_id=bids[0]) == 0
+
+
+def test_stream_append_maintains_dict_sidecars(spark, tmp_path):
+    """Micro-batch appends stage fuzzy_dict and rev_dict deltas exactly
+    like batch appends (streaming rides append_runs_index), so after a
+    stream the sidecars' summed global state equals a from-scratch
+    build's — vocabulary-scale fuzzy and leading-wildcard queries stay
+    correct on stream-grown indexes without any rebuild."""
+    from cer_for_mti_spark.operators import fuzzy_dict as fz
+    from cer_for_mti_spark.operators import rev_dict as rv
+
+    full = datagen.generate_webtext(spark, 100, seed=47).cache()
+    base = full.filter(F.col("doc_id") < 50)
+    new = full.filter(F.col("doc_id") >= 50)
+    dt = ib.build_doc_terms(base).cache()
+    ds = ib.build_doc_stats(dt)
+    _, avgdl = ib.corpus_stats(ds)
+    idx = str(tmp_path / "stream_dict_idx")
+    ib.write_runs_index(
+        ib.build_posting_runs(dt, ds, avgdl, salt=4, n_docs=100),
+        ds, idx, num_shards=4)
+    fz.write_fuzzy_dict(spark, idx, max_dist=1)
+    rv.write_rev_dict(spark, idx)
+
+    input_dir = str(tmp_path / "stream_dict_in")
+    new.repartition(3).write.parquet(input_dir)
+    ckpt = str(tmp_path / "stream_dict_ckpt")
+    sch = "doc_id long, text string, lang string, source string, n_chars long"
+    q = ingest.stream_append_runs_index(spark, input_dir, idx, ckpt,
+                                        num_shards=4, schema=sch)
+    q.awaitTermination(180)
+    assert spark.read.parquet(f"{idx}/doc_stats").count() == 100
+
+    dt_f = ib.build_doc_terms(full).cache()
+    ds_f = ib.build_doc_stats(dt_f)
+    runs_f = ib.build_posting_runs(dt_f, ds_f, avgdl, salt=4, n_docs=100)
+    idx_f = str(tmp_path / "stream_dict_scratch")
+    ib.write_runs_index(runs_f, ds_f, idx_f, num_shards=4)
+    fz.write_fuzzy_dict(spark, idx_f, max_dist=1)
+    rv.write_rev_dict(spark, idx_f)
+
+    def fuzzy_state(p):
+        return {(r.variant, r.term, r.df)
+                for r in ib.read_index_rel(spark, p, "fuzzy_dict")
+                .groupBy("variant", "term")
+                .agg(F.sum("df").cast("long").alias("df")).collect()}
+
+    def rev_state(p):
+        return {(r.rev, r.term, r.df)
+                for r in ib.read_index_rel(spark, p, "rev_dict")
+                .groupBy("rev", "term")
+                .agg(F.sum("df").cast("long").alias("df")).collect()}
+
+    assert fuzzy_state(idx) == fuzzy_state(idx_f) and fuzzy_state(idx)
+    assert rev_state(idx) == rev_state(idx_f) and rev_state(idx)
