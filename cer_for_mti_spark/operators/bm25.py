@@ -719,7 +719,8 @@ def _query_term_set(queries_rows, mode: str) -> set[str]:
 
 def bm25_wand_sharded_from_index(spark, index_path: str, queries: DataFrame,
                                  n_docs: int, avgdl: float, k: int = 10,
-                                 mode: str = "simple", num_shards: int = 32,
+                                 mode: str = "simple",
+                                 num_shards: int | None = None,
                                  scorer: str = "auto",
                                  base_df: DataFrame | None = None,
                                  tombstones="auto") -> DataFrame:
@@ -748,7 +749,7 @@ def bm25_wand_sharded_from_index(spark, index_path: str, queries: DataFrame,
 
 
 def read_runs_pruned(spark, index_path: str, query_terms: list[str],
-                     num_shards: int = 32,
+                     num_shards: int | None = None,
                      base_df: DataFrame | None = None) -> DataFrame:
     """read_postings_pruned's twin for the RUN-level layout
     (<path>/runs, write_runs_index / append_runs_index): shard dirs
@@ -757,8 +758,10 @@ def read_runs_pruned(spark, index_path: str, query_terms: list[str],
     from cer_for_mti_spark.functions.hashing import md5_60_py
     from cer_for_mti_spark.operators.index_build import (
         repair_interrupted_compaction,
+        resolve_num_shards,
     )
 
+    num_shards = resolve_num_shards(index_path, num_shards)
     shards = sorted({md5_60_py(t) % num_shards for t in query_terms})
     if base_df is None:
         # a compaction crashed between its two renames leaves no runs/
@@ -775,7 +778,7 @@ def read_runs_pruned(spark, index_path: str, query_terms: list[str],
 
 
 def read_postings_pruned(spark, index_path: str, query_terms: list[str],
-                         num_shards: int = 32,
+                         num_shards: int | None = None,
                          base_df: DataFrame | None = None) -> DataFrame:
     """Scan-pruned postings read for a query batch: the term list and its
     shard ids are known before the scan (shard = md5_60(term) % S is a
@@ -788,7 +791,9 @@ def read_postings_pruned(spark, index_path: str, query_terms: list[str],
     push down into a columnar scan without DPP, and DPP doesn't apply to
     non-partition join columns."""
     from cer_for_mti_spark.functions.hashing import md5_60_py
+    from cer_for_mti_spark.operators.index_build import resolve_num_shards
 
+    num_shards = resolve_num_shards(index_path, num_shards)
     shards = sorted({md5_60_py(t) % num_shards for t in query_terms})
     # pass base_df (opened once) for repeated queries: partition pruning
     # happens at planning time from the cached file index, so reusing the
@@ -805,7 +810,8 @@ def read_postings_pruned(spark, index_path: str, query_terms: list[str],
 
 def bm25_wand_from_index(spark, index_path: str, queries: DataFrame,
                          n_docs: int, avgdl: float, k: int = 10,
-                         mode: str = "simple", num_shards: int = 32,
+                         mode: str = "simple",
+                         num_shards: int | None = None,
                          scorer: str = "auto",
                          base_df: DataFrame | None = None,
                          tombstones="auto") -> DataFrame:

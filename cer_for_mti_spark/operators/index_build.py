@@ -805,6 +805,7 @@ def write_index(postings: DataFrame, doc_stats: DataFrame, path: str,
         f"{path}/postings"
     )
     doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
+    write_shards_meta(path, num_shards)
 
 
 def write_runs_index(runs: DataFrame, doc_stats: DataFrame, path: str,
@@ -851,6 +852,7 @@ def write_runs_index(runs: DataFrame, doc_stats: DataFrame, path: str,
     write_index_meta(path, bake_avgdl=(
         float(bake_avgdl) if bake_avgdl is not None else live_avgdl
     ), n_docs_at_bake=n)
+    write_shards_meta(path, num_shards)
     if commit_mode == "manifest":
         # object-store ingest mode: readers list files from committed
         # manifests, appends copy + manifest instead of renaming
@@ -957,14 +959,16 @@ def write_index_meta(path: str, bake_avgdl: float,
                      n_docs_at_bake: int) -> None:
     """Tiny JSON sidecar pinning the stats the index bytes were encoded
     with. Written atomically (tmp + rename) so readers never see a torn
-    file."""
+    file; other keys already present (num_shards) are preserved."""
     import json as _json
 
+    meta = read_index_meta(path) or {}
+    meta.update({"bake_avgdl": float(bake_avgdl),
+                 "n_docs_at_bake": int(n_docs_at_bake)})
     os.makedirs(path, exist_ok=True)
     tmp = f"{path}/.{INDEX_META_FILE}.tmp"
     with open(tmp, "w") as f:
-        _json.dump({"bake_avgdl": float(bake_avgdl),
-                    "n_docs_at_bake": int(n_docs_at_bake)}, f)
+        _json.dump(meta, f)
     os.replace(tmp, f"{path}/{INDEX_META_FILE}")
 
 
@@ -976,6 +980,54 @@ def read_index_meta(path: str) -> dict | None:
         return None
     with open(p) as f:
         return _json.load(f)
+
+
+def write_shards_meta(path: str, num_shards: int) -> None:
+    """Record the layout's shard count in index_meta.json (merged with
+    any existing keys, atomic replace). shard = md5(term) % num_shards
+    is baked into the DATA at write time; a reader or appender using a
+    different count prunes/writes the WRONG partition dirs and silently
+    returns partial results — so writers record it, readers default to
+    it, and check_num_shards raises on an explicit mismatch."""
+    import json as _json
+
+    meta = read_index_meta(path) or {}
+    meta["num_shards"] = int(num_shards)
+    os.makedirs(path, exist_ok=True)
+    tmp = f"{path}/.{INDEX_META_FILE}.tmp"
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    os.replace(tmp, f"{path}/{INDEX_META_FILE}")
+
+
+def index_num_shards(path: str) -> int | None:
+    """The shard count this index was written with, or None for indexes
+    predating the metadata (callers keep their explicit/default value)."""
+    meta = read_index_meta(path)
+    if meta is not None and "num_shards" in meta:
+        return int(meta["num_shards"])
+    return None
+
+
+def resolve_num_shards(index_path: str, num_shards: int | None,
+                       default: int = 32) -> int:
+    """Effective shard count for reading/appending a written index:
+    None -> the recorded count (index_meta.json), falling back to
+    `default` for pre-metadata indexes; an explicit value is validated
+    against the recorded one and a mismatch RAISES — shard placement
+    (md5(term) % S) is baked into the data, so a wrong S prunes/writes
+    the wrong partition dirs and silently returns partial results."""
+    rec = index_num_shards(index_path)
+    if num_shards is None:
+        return rec if rec is not None else int(default)
+    if rec is not None and int(num_shards) != rec:
+        raise ValueError(
+            f"index at {index_path} was written with num_shards={rec} "
+            f"but the call passed num_shards={num_shards}; shard "
+            "placement is baked into the data — pass the recorded value "
+            "(or None to use it) or rebuild."
+        )
+    return int(num_shards)
 
 
 def bake_stats(spark, index_path: str,
@@ -1315,7 +1367,7 @@ def _staged_shard_units(stage: str, rel: str, index_path: str,
 def append_runs_index(spark, index_path: str, new_docs: DataFrame,
                       avgdl: float, mode: str = "simple",
                       salt: int | None = None, n_docs: int | None = None,
-                      num_shards: int = 32,
+                      num_shards: int | None = None,
                       on_conflict: str = "error",
                       batch_id: str | None = None,
                       fail_after: int | None = None) -> int:
@@ -1344,6 +1396,7 @@ def append_runs_index(spark, index_path: str, new_docs: DataFrame,
     number of docs appended."""
     # a compaction crashed mid-swap leaves no runs/ dir — roll forward
     # BEFORE committing units, or the append would resurrect a bare one
+    num_shards = resolve_num_shards(index_path, num_shards)
     repair_interrupted_compaction(index_path, "runs")
     repair_interrupted_compaction(index_path, "doc_stats")
     repair_interrupted_compaction(index_path, "term_dict")
@@ -1493,7 +1546,7 @@ def append_positional_runs_index(spark, index_path: str,
                                  new_docs: DataFrame, mode: str = "simple",
                                  salt: int | None = None,
                                  n_docs: int | None = None,
-                                 num_shards: int = 32,
+                                 num_shards: int | None = None,
                                  on_conflict: str = "error",
                                  batch_id: str | None = None,
                                  fail_after: int | None = None) -> int:
@@ -1513,6 +1566,7 @@ def append_positional_runs_index(spark, index_path: str,
     from cer_for_mti_spark.functions.hashing import md5_60
     from cer_for_mti_spark.operators.phrase import build_positional_runs
 
+    num_shards = resolve_num_shards(index_path, num_shards)
     repair_interrupted_compaction(index_path, "positional_runs")
     repair_interrupted_compaction(index_path, "docs")
     inflight = _find_inflight_batch(index_path)
@@ -1767,7 +1821,7 @@ def tombstones_by_bucket(spark, index_path: str,
 
 
 def compact_runs_index(spark, index_path: str, avgdl: float,
-                       num_shards: int = 32,
+                       num_shards: int | None = None,
                        purge_tombstones: bool = True,
                        tombstone_broadcast_max: int = TOMBSTONE_MAX_IDS
                        ) -> tuple[int, int]:
@@ -1803,6 +1857,7 @@ def compact_runs_index(spark, index_path: str, avgdl: float,
     (tested).
 
     Returns (runs_before, runs_after)."""
+    num_shards = resolve_num_shards(index_path, num_shards)
     repair_interrupted_compaction(index_path, "runs")
     repair_interrupted_compaction(index_path, "term_dict")
     repair_interrupted_compaction(index_path, "fuzzy_dict")

@@ -241,10 +241,14 @@ def write_positional_index(positional: DataFrame, path: str,
     sharded.write.mode("overwrite").partitionBy("shard").parquet(
         f"{path}/positional"
     )
+    from cer_for_mti_spark.operators.index_build import write_shards_meta
+
+    write_shards_meta(path, num_shards)
 
 
 def phrase_search_from_index(spark, index_path: str, phrases: DataFrame,
-                             mode: str = "simple", num_shards: int = 32,
+                             mode: str = "simple",
+                             num_shards: int | None = None,
                              base_df: DataFrame | None = None,
                              max_posting_bytes: int | None = -1,
                              slop: int = 0, tombstones="auto") -> DataFrame:
@@ -253,7 +257,9 @@ def phrase_search_from_index(spark, index_path: str, phrases: DataFrame,
     are literal filters, so only |terms| row groups are touched at query
     time. Result-identical to phrase_search on the open DF."""
     from cer_for_mti_spark.functions.hashing import md5_60_py
+    from cer_for_mti_spark.operators.index_build import resolve_num_shards
 
+    num_shards = resolve_num_shards(index_path, num_shards)
     terms = set()
     for r in phrases.collect():
         terms.update(phrase_terms(r["query"], mode))
@@ -708,6 +714,7 @@ def write_positional_runs_index(pos_runs: DataFrame, path: str,
     from cer_for_mti_spark.operators.index_build import (
         _list_data_files,
         _manifest_write,
+        write_shards_meta,
     )
 
     sharded = pos_runs.withColumn(
@@ -720,6 +727,7 @@ def write_positional_runs_index(pos_runs: DataFrame, path: str,
         docs.select("doc_id").distinct().write.mode("overwrite").parquet(
             f"{path}/docs"
         )
+    write_shards_meta(path, num_shards)
     if commit_mode == "manifest":
         _manifest_write(path, "base-positional_runs",
                         _list_data_files(path, "positional_runs"))
@@ -751,7 +759,7 @@ def _drop_tombstoned_hits(spark, index_path: str, hits: DataFrame,
 def phrase_search_sharded_from_index(spark, index_path: str,
                                      phrases: DataFrame,
                                      mode: str = "simple",
-                                     num_shards: int = 32,
+                                     num_shards: int | None = None,
                                      base_df: DataFrame | None = None,
                                      slop: int = 0,
                                      tombstones="auto") -> DataFrame:
@@ -760,7 +768,9 @@ def phrase_search_sharded_from_index(spark, index_path: str,
     then per-(phrase, bucket) matching — the full 10^12-doc phrase shape:
     touch |terms| row groups, fetch one bucket slice per task."""
     from cer_for_mti_spark.functions.hashing import md5_60_py
+    from cer_for_mti_spark.operators.index_build import resolve_num_shards
 
+    num_shards = resolve_num_shards(index_path, num_shards)
     terms = set()
     for r in phrases.collect():
         terms.update(phrase_terms(r["query"], mode))
@@ -910,7 +920,8 @@ def phrase_prefix_search_sharded(phrases: DataFrame, pos_runs: DataFrame,
 
 
 def phrase_prefix_search_sharded_from_index(
-        spark, index_path: str, phrases: DataFrame, num_shards: int = 32,
+        spark, index_path: str, phrases: DataFrame,
+        num_shards: int | None = None,
         max_expansions: int = PHRASE_PREFIX_MAX_EXPANSIONS, slop: int = 0,
         tombstones="auto") -> DataFrame:
     """The 10^12-doc phrase-prefix shape over a written positional-runs
@@ -922,9 +933,11 @@ def phrase_prefix_search_sharded_from_index(
     from cer_for_mti_spark.operators.index_build import (
         read_index_rel,
         repair_interrupted_compaction,
+        resolve_num_shards,
     )
     from cer_for_mti_spark.functions.hashing import md5_60_py
 
+    num_shards = resolve_num_shards(index_path, num_shards)
     repair_interrupted_compaction(index_path, "positional_runs")
     rel = read_index_rel(spark, index_path, "positional_runs",
                          with_base_path=True)
@@ -942,7 +955,7 @@ def phrase_prefix_search_sharded_from_index(
 
 
 def compact_positional_runs(spark, index_path: str,
-                            num_shards: int = 32,
+                            num_shards: int | None = None,
                             purge_tombstones: bool = True,
                             tombstone_broadcast_max: int | None = None
                             ) -> tuple[int, int]:
@@ -975,8 +988,10 @@ def compact_positional_runs(spark, index_path: str,
     from cer_for_mti_spark.functions.hashing import md5_60
     from cer_for_mti_spark.operators.index_build import (
         repair_interrupted_compaction,
+        resolve_num_shards,
     )
 
+    num_shards = resolve_num_shards(index_path, num_shards)
     repair_interrupted_compaction(index_path, "positional_runs")
     repair_interrupted_compaction(index_path, "docs")
     from cer_for_mti_spark.operators.index_build import (

@@ -201,7 +201,7 @@ def bm25_fuzzy_symspell(queries: DataFrame, doc_terms: DataFrame,
 def bm25_fuzzy_symspell_from_index(spark, index_path: str,
                                    queries: DataFrame, n_docs: int,
                                    avgdl: float, k: int = 10,
-                                   num_shards: int = 32, max_dist: int = 1,
+                                   num_shards: int | None = None, max_dist: int = 1,
                                    max_expansions: int = 50,
                                    tombstones="auto") -> DataFrame:
     """The 10^12-doc / 10^8-term fuzzy-query shape: pattern delete
@@ -357,7 +357,7 @@ def bm25_wildcard(queries: DataFrame, doc_terms: DataFrame,
 def bm25_wildcard_sharded_from_index(spark, index_path: str,
                                      queries: DataFrame, n_docs: int,
                                      avgdl: float, k: int = 10,
-                                     num_shards: int = 32,
+                                     num_shards: int | None = None,
                                      max_expansions: int = 50,
                                      allow_leading: bool = False,
                                      tombstones="auto") -> DataFrame:
@@ -488,7 +488,7 @@ def bm25_fuzzy(queries: DataFrame, doc_terms: DataFrame,
 def bm25_prefix_sharded_from_index(spark, index_path: str,
                                    queries: DataFrame, n_docs: int,
                                    avgdl: float, k: int = 10,
-                                   num_shards: int = 32,
+                                   num_shards: int | None = None,
                                    max_expansions: int = 50,
                                    tombstones="auto") -> DataFrame:
     """The 10^12-doc prefix-query shape: expand against the index's own
@@ -510,7 +510,7 @@ def bm25_prefix_sharded_from_index(spark, index_path: str,
 def bm25_fuzzy_sharded_from_index(spark, index_path: str,
                                   queries: DataFrame, n_docs: int,
                                   avgdl: float, k: int = 10,
-                                  num_shards: int = 32, max_dist: int = 1,
+                                  num_shards: int | None = None, max_dist: int = 1,
                                   prefix_len: int = 1,
                                   max_expansions: int = 50,
                                   tombstones="auto") -> DataFrame:

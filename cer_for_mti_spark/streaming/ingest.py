@@ -57,7 +57,7 @@ def stream_doc_terms(spark: SparkSession, input_dir: str,
 
 def stream_append_runs_index(spark: SparkSession, input_dir: str,
                              index_path: str, checkpoint_dir: str,
-                             mode: str = "simple", num_shards: int = 32,
+                             mode: str = "simple", num_shards: int | None = None,
                              avgdl: float | None = None,
                              schema: str = DOCS_STREAM_SCHEMA):
     """File-source stream -> merge-free ATOMIC appends straight into a
@@ -102,7 +102,7 @@ def stream_append_positional_runs_index(spark: SparkSession,
                                         input_dir: str, index_path: str,
                                         checkpoint_dir: str,
                                         mode: str = "simple",
-                                        num_shards: int = 32,
+                                        num_shards: int | None = None,
                                         schema: str = DOCS_STREAM_SCHEMA):
     """Positional twin of stream_append_runs_index: each micro-batch
     runs index_build.append_positional_runs_index with the lineage-keyed

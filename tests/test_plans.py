@@ -27,6 +27,13 @@ ALLOWED_NESTED_LOOP = {
     "levenshtein_fuzzy",   # 1-row count aggregates cross-joined
     "bootstrap_prf",       # tiny broadcast of per-doc counts / indexes
     "eval_micro_prf",      # 1-row aggregates
+    # expansion oracle twins: BROADCAST(tiny pattern set) theta-joined
+    # against the vocabulary-sized dictionary (Heaps-sublinear, never
+    # the postings). The scale paths are the from-index variants —
+    # StartsWith range seeks on the sorted term_dict / rev_dict
+    # sidecars (plan-asserted in test_query_expand / test_rev_dict).
+    "bm25_prefix",         # startswith(term, pat) theta-join
+    "bm25_wildcard",       # rlike(term, rx) theta-join
 }
 
 # driver-side-iterative or reference-IO-heavy entries: plan built by

@@ -28,7 +28,7 @@ def main() -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument("--mode", default="simple",
                     choices=["simple", "chem", "chem+greek"])
-    ap.add_argument("--shards", type=int, default=32)
+    ap.add_argument("--shards", type=int, default=None)
     ap.add_argument("--positional", action="store_true",
                     help="the index is a positional runs index")
     ap.add_argument("--on-conflict", default="error",

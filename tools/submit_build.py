@@ -40,7 +40,20 @@ def main() -> None:
                     help="manifest = object-store-safe commits for the "
                          "runs/positional indexes (copy + manifest; "
                          "readers list committed files only)")
+    ap.add_argument("--fuzzy-dict", type=int, default=None,
+                    metavar="MAX_DIST",
+                    help="with --runs-index: also build the SymSpell "
+                         "delete-neighborhood sidecar at this depth "
+                         "(vocabulary-scale fuzzy queries, "
+                         "submit_query --symspell)")
+    ap.add_argument("--rev-dict", action="store_true",
+                    help="with --runs-index: also build the reversed "
+                         "dictionary sidecar (leading-wildcard range "
+                         "seeks, submit_query --wildcard)")
     args = ap.parse_args()
+    if (args.fuzzy_dict is not None or args.rev_dict) and not args.runs_index:
+        raise SystemExit("--fuzzy-dict/--rev-dict are runs-index sidecars; "
+                         "pass --runs-index too")
 
     from pyspark.sql import SparkSession
 
@@ -63,6 +76,16 @@ def main() -> None:
                             num_shards=args.shards,
                             commit_mode=args.commit_mode)
         extra["runs_index"] = args.output + "_runs"
+        if args.fuzzy_dict is not None:
+            from cer_for_mti_spark.operators import fuzzy_dict as fz
+
+            extra["fuzzy_dict_rows"] = fz.write_fuzzy_dict(
+                spark, args.output + "_runs", max_dist=args.fuzzy_dict)
+        if args.rev_dict:
+            from cer_for_mti_spark.operators import rev_dict as rv
+
+            extra["rev_dict_rows"] = rv.write_rev_dict(
+                spark, args.output + "_runs")
     if args.positional_index:
         from cer_for_mti_spark.operators import phrase as ph
 

@@ -34,10 +34,10 @@ def main() -> None:
     sub = ap.add_subparsers(dest="cmd", required=True)
     r = sub.add_parser("runs")
     r.add_argument("--index", required=True)
-    r.add_argument("--shards", type=int, default=32)
+    r.add_argument("--shards", type=int, default=None)
     p = sub.add_parser("positional")
     p.add_argument("--index", required=True)
-    p.add_argument("--shards", type=int, default=32)
+    p.add_argument("--shards", type=int, default=None)
     a = sub.add_parser("ann")
     a.add_argument("--index", required=True)
     v = sub.add_parser("vacuum")
@@ -46,7 +46,7 @@ def main() -> None:
     m.add_argument("--index", required=True)
     m.add_argument("--delta", required=True)
     m.add_argument("--output", required=True)
-    m.add_argument("--shards", type=int, default=32)
+    m.add_argument("--shards", type=int, default=None)
     m.add_argument("--on-conflict", default="error",
                    choices=["error", "skip"])
     m.add_argument("--rebuild-threshold", type=float, default=0.5)
@@ -88,9 +88,13 @@ def main() -> None:
         n = similarity.compact_ann_index(spark, args.index)
         out = {"index": args.index, "vectors_purged": int(n)}
     else:
+        # merged compaction WRITES a new index: shard count comes from
+        # the input index's metadata unless given explicitly
+        shards = (args.shards if args.shards is not None
+                  else ib.index_num_shards(args.index) or 32)
         n, avgdl = ib.compact_index(
             spark, args.index, args.delta, args.output,
-            num_shards=args.shards, on_conflict=args.on_conflict,
+            num_shards=shards, on_conflict=args.on_conflict,
             rebuild_threshold=args.rebuild_threshold)
         out = {"index": args.output, "n_docs": n,
                "avgdl_in_effect": round(avgdl, 4)}

@@ -21,6 +21,13 @@ are (query, doc_id, n_matches). Prints one JSON line per result row.
 ('dat*') completions or Levenshtein-close terms from the index term
 dictionary (sorted term_dict sidecar when present), scored through the
 sharded BM25 path; see operators/query_expand.py.
+--wildcard: generalized globs ('d?p', 's*m', '*tion') — literal-prefix
+seeks on term_dict; leading wildcards use the rev_dict sidecar
+(submit_build --rev-dict) or need --allow-leading.
+--symspell: vocabulary-scale fuzzy (prefixLength=0 — first-char typos
+expand) via the fuzzy_dict sidecar (submit_build --fuzzy-dict D).
+--phrase-prefix: with --phrase, trailing-'*' tokens are MultiPhraseQuery
+slots expanding to --max-expansions completions in term order.
 """
 
 from __future__ import annotations
@@ -36,7 +43,10 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--mode", default="simple",
                     choices=["simple", "chem", "chem+greek"])
-    ap.add_argument("--shards", type=int, default=32)
+    ap.add_argument("--shards", type=int, default=None,
+                    help="index shard count; default = the count "
+                         "recorded in index_meta.json (explicit "
+                         "mismatches raise)")
     ap.add_argument("--sharded", action="store_true")
     ap.add_argument("--conjunctive", action="store_true")
     ap.add_argument("--phrase", action="store_true")
@@ -62,14 +72,37 @@ def main() -> None:
     ap.add_argument("--fuzzy-dist", type=int, default=1)
     ap.add_argument("--fuzzy-prefix-len", type=int, default=1)
     ap.add_argument("--max-expansions", type=int, default=50)
+    ap.add_argument("--wildcard", action="store_true",
+                    help="generalized glob retrieval over a RUNS index: "
+                         "'*' and '?' anywhere in a token; leading "
+                         "wildcards seek the rev_dict sidecar when "
+                         "present, else need --allow-leading")
+    ap.add_argument("--symspell", action="store_true",
+                    help="vocabulary-scale fuzzy over a RUNS index with "
+                         "a fuzzy_dict sidecar: prefixLength=0 "
+                         "semantics (first-char typos expand) at "
+                         "--fuzzy-dist edits")
+    ap.add_argument("--allow-leading", action="store_true",
+                    help="with --wildcard: accept the full-dictionary "
+                         "enumeration for patterns with no seekable "
+                         "literal at either end")
+    ap.add_argument("--phrase-prefix", action="store_true",
+                    help="with --phrase: trailing-'*' tokens expand to "
+                         "--max-expansions dictionary completions in "
+                         "term order (MultiPhraseQuery slots)")
     args = ap.parse_args()
-    if (args.prefix or args.fuzzy) and (
-            args.conjunctive or args.phrase or args.exclude):
-        raise SystemExit("--prefix/--fuzzy do not compose with "
-                         "--conjunctive/--phrase/--exclude")
-    if (args.prefix or args.fuzzy) and args.mode != "simple":
-        raise SystemExit("--prefix/--fuzzy expand to already-analyzed "
+    n_exp = sum([args.prefix, args.fuzzy, args.wildcard, args.symspell])
+    if n_exp > 1:
+        raise SystemExit("--prefix/--fuzzy/--wildcard/--symspell are "
+                         "mutually exclusive")
+    if n_exp and (args.conjunctive or args.phrase or args.exclude):
+        raise SystemExit("--prefix/--fuzzy/--wildcard/--symspell do not "
+                         "compose with --conjunctive/--phrase/--exclude")
+    if n_exp and args.mode != "simple":
+        raise SystemExit("expansion flags expand to already-analyzed "
                          "terms; only --mode simple is supported")
+    if args.phrase_prefix and not args.phrase:
+        raise SystemExit("--phrase-prefix requires --phrase")
 
     from pyspark.sql import SparkSession
 
@@ -85,10 +118,16 @@ def main() -> None:
     if args.phrase:
         from cer_for_mti_spark.operators import phrase as ph
 
-        hits = ph.phrase_search_sharded_from_index(
-            spark, args.index, queries, mode=args.mode,
-            num_shards=args.shards, slop=args.slop,
-        )
+        if args.phrase_prefix:
+            hits = ph.phrase_prefix_search_sharded_from_index(
+                spark, args.index, queries, num_shards=args.shards,
+                max_expansions=args.max_expansions, slop=args.slop,
+            )
+        else:
+            hits = ph.phrase_search_sharded_from_index(
+                spark, args.index, queries, mode=args.mode,
+                num_shards=args.shards, slop=args.slop,
+            )
         for r in hits.orderBy("phrase_id", "doc_id").collect():
             print(json.dumps({
                 "query_id": r["phrase_id"], "query": qtext[r["phrase_id"]],
@@ -105,7 +144,7 @@ def main() -> None:
     # tombstoned docs (submit_delete.py) are dropped before every top-k
     # cut; the array is loaded once and passed to whichever path runs
     tomb = ib.load_tombstones(spark, args.index)
-    if args.prefix or args.fuzzy:
+    if n_exp:
         # expansion paths run over the RUNS index layout only (the
         # dictionary probe and the sharded scorer share its pruning)
         from cer_for_mti_spark.operators import query_expand as qe
@@ -114,6 +153,17 @@ def main() -> None:
             out = qe.bm25_prefix_sharded_from_index(
                 spark, args.index, queries, n, avgdl, k=args.k,
                 num_shards=args.shards,
+                max_expansions=args.max_expansions, tombstones=tomb)
+        elif args.wildcard:
+            out = qe.bm25_wildcard_sharded_from_index(
+                spark, args.index, queries, n, avgdl, k=args.k,
+                num_shards=args.shards,
+                max_expansions=args.max_expansions,
+                allow_leading=args.allow_leading, tombstones=tomb)
+        elif args.symspell:
+            out = qe.bm25_fuzzy_symspell_from_index(
+                spark, args.index, queries, n, avgdl, k=args.k,
+                num_shards=args.shards, max_dist=args.fuzzy_dist,
                 max_expansions=args.max_expansions, tombstones=tomb)
         else:
             out = qe.bm25_fuzzy_sharded_from_index(
