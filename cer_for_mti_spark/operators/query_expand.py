@@ -198,16 +198,65 @@ def bm25_fuzzy_symspell(queries: DataFrame, doc_terms: DataFrame,
                            k=k, mode="simple")
 
 
+def _levenshtein_py(a: str, b: str) -> int:
+    """Plain DP edit distance — the driver-side twin of F.levenshtein
+    for the (tiny, short-string) candidate sets the symspell probe
+    returns."""
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, start=1):
+        cur = [i]
+        for j, cb in enumerate(b, start=1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def expand_symspell_driver(q_rows, cand_rows, max_dist: int = 1,
+                           max_expansions: int = 50) -> list:
+    """(query_id, query) rewrite computed ENTIRELY driver-side from the
+    probe's candidate superset — result-identical to
+    expand_fuzzy_symspell (tested) with zero extra Spark jobs: the
+    candidate set is bounded by the patterns' delete neighborhoods, so
+    the exact verify, the (distance ASC, df DESC, term ASC) cap, and
+    the always-kept-literal union are plain Python.
+    cand_rows: collected (pat, term, df) rows."""
+    by_pat: dict[str, list] = {}
+    for r in cand_rows:
+        d = _levenshtein_py(r["term"], r["pat"])
+        if d <= int(max_dist):
+            by_pat.setdefault(r["pat"], []).append(
+                (d, -int(r["df"]), r["term"]))
+    exp: dict[str, list[str]] = {}
+    for pat, scored in by_pat.items():
+        scored.sort()
+        exp[pat] = [t for _, _, t in scored[: int(max_expansions)]]
+    out = []
+    for r in q_rows:
+        terms: set[str] = set()
+        for tok in dict.fromkeys((r["query"] or "").split()):
+            terms.add(tok)  # literal always kept (OOV scores nothing)
+            terms.update(exp.get(tok, ()))
+        out.append((int(r["query_id"]), " ".join(sorted(terms))))
+    return out
+
+
 def bm25_fuzzy_symspell_from_index(spark, index_path: str,
                                    queries: DataFrame, n_docs: int,
                                    avgdl: float, k: int = 10,
-                                   num_shards: int | None = None, max_dist: int = 1,
+                                   num_shards: int | None = None,
+                                   max_dist: int = 1,
                                    max_expansions: int = 50,
                                    tombstones="auto") -> DataFrame:
     """The 10^12-doc / 10^8-term fuzzy-query shape: pattern delete
     variants (driver-side, a handful) probe the index's persisted
-    fuzzy_dict sidecar with a pushed IN range seek, candidates are
-    exact-verified and capped, and the rewritten disjunction runs
+    fuzzy_dict sidecar with a pushed IN range seek (ONE tiny job —
+    PLANS.md PLAN 10), the exact verify + cap + rewrite run driver-side
+    over the bounded candidate set, and the rewritten disjunction runs
     through the sharded block-max scorer. No shared-prefix constraint at
     all (Lucene prefixLength=0 semantics) and no vocabulary scan —
     rank-identical to bm25_fuzzy(prefix_len=0) over the same corpus."""
@@ -216,11 +265,13 @@ def bm25_fuzzy_symspell_from_index(spark, index_path: str,
 
     q_rows = queries.collect()
     stems, lits = _patterns_driver_side(q_rows)
-    cand = read_fuzzy_candidates(spark, index_path,
-                                 sorted({*stems, *lits}),
-                                 max_dist=max_dist)
-    expanded = expand_fuzzy_symspell(queries, cand, max_dist=max_dist,
-                                     max_expansions=max_expansions)
+    cand_rows = read_fuzzy_candidates(
+        spark, index_path, sorted({*stems, *lits}),
+        max_dist=max_dist).collect()
+    expanded = spark.createDataFrame(
+        expand_symspell_driver(q_rows, cand_rows, max_dist=max_dist,
+                               max_expansions=max_expansions),
+        "query_id int, query string")
     return bm25.bm25_wand_sharded_from_index(
         spark, index_path, expanded, n_docs, avgdl, k=k, mode="simple",
         num_shards=num_shards, tombstones=tombstones)

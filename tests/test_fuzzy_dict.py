@@ -262,3 +262,41 @@ def test_symspell_from_index_respects_tombstones(spark, tmp_path):
     post = qe.bm25_fuzzy_symspell_from_index(
         spark, idx, qs, n, avgdl, k=100, num_shards=4).collect()
     assert post and not {r.doc_id for r in post} & set(victims)
+
+
+def test_driver_side_expansion_identity(spark, tmp_path):
+    """The from-index path's driver-side expansion (one probe job, pure
+    Python verify/cap/rewrite) is row-identical to the DataFrame
+    expansion expand_fuzzy_symspell — including first-char typos, OOV
+    tokens, duplicate tokens, multi-token queries, and an empty query —
+    and the Python levenshtein twin agrees with F.levenshtein."""
+    import random
+
+    from pyspark.sql import functions as F2
+
+    docs = datagen.generate_webtext(spark, 200, seed=5).cache()
+    dt = ib.build_doc_terms(docs).cache()
+    td = qe.term_dict_from_doc_terms(dt).cache()
+    qs_rows = [(0, "xystem"), (1, "dataa dataa time"), (2, "zzznope"),
+               (3, ""), (4, "wweb xystem")]
+    qs = spark.createDataFrame(qs_rows, "query_id int, query string")
+    pats = sorted({t for _, q in qs_rows for t in q.split()})
+    for d in (1, 2):
+        cand = fz.symspell_candidates(td, pats, max_dist=d).cache()
+        df_rows = sorted(
+            (r.query_id, r.query)
+            for r in qe.expand_fuzzy_symspell(qs, cand, max_dist=d)
+            .collect())
+        py_rows = sorted(qe.expand_symspell_driver(
+            qs.collect(), cand.collect(), max_dist=d))
+        assert py_rows == df_rows, d
+
+    # the pure-Python levenshtein equals F.levenshtein on random pairs
+    random.seed(23)
+    pairs = [("".join(random.choice("abcd") for _ in range(random.randint(0, 7))),
+              "".join(random.choice("abcd") for _ in range(random.randint(0, 7))))
+             for _ in range(200)]
+    pdf = spark.createDataFrame(pairs, "a string, b string").withColumn(
+        "d", F2.levenshtein("a", "b"))
+    for r in pdf.collect():
+        assert qe._levenshtein_py(r.a, r.b) == r.d, (r.a, r.b)
