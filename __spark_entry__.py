@@ -91,15 +91,19 @@ WILDCARD_QUERY_SET = [
 
 # phrase-prefix set: expanding slot mid-phrase, leading slot, repeated
 # prefix slots, an empty-expansion stem (phrase matches nothing while
-# the batch proceeds), and a plain phrase riding the same batch.
-# max_expansions=4 < the 6 completions of 's*' so the deterministic
-# term-order cap is exercised on both engines.
+# the batch proceeds), a plain phrase riding the same batch, and full
+# glob slots ('?' one char; leading '*' — slots accept the whole
+# WildcardQuery pattern language). max_expansions=4 < the 6 completions
+# of 's*' so the deterministic term-order cap is exercised on both
+# engines.
 PHRASE_PREFIX_SET = [
     (0, "table s*"),
     (1, "h* join"),
     (2, "s* s*"),
     (3, "zzq* the"),
     (4, "the the"),
+    (5, "d?p the"),
+    (6, "*ow the"),
 ]
 PHRASE_PREFIX_CAP = 4
 
@@ -352,12 +356,12 @@ def q_bm25_wildcard(spark, sf_dir):
 
 
 def q_phrase_prefix(spark, sf_dir):
-    """Phrase search with trailing-'*' prefix slots (Lucene
-    MultiPhraseQuery): each marked slot expands to its first
-    PHRASE_PREFIX_CAP dictionary completions in term order and matches
-    ANY of them at that position; per-slot postings are unioned before
-    the adjacency core. Batch mixes mid-phrase/leading/repeated prefix
-    slots, an empty-expansion stem, and a plain phrase."""
+    """Phrase search with glob slots (Lucene MultiPhraseQuery): a token
+    carrying '*'/'?' anywhere expands to its first PHRASE_PREFIX_CAP
+    dictionary completions in term order and matches ANY of them at
+    that position; per-slot postings are unioned before the adjacency
+    core. Batch mixes mid-phrase/leading/repeated prefix slots, '?' and
+    leading-'*' globs, an empty-expansion stem, and a plain phrase."""
     from cer_for_mti_spark.operators import phrase as ph
 
     positional = ph.build_positional_postings(_docs(spark, sf_dir))
@@ -1073,10 +1077,11 @@ def _phrase_prefix_sql(cap: int = None) -> str:
         for i, (tok, isp) in enumerate(toks):
             tabs.append(f"tokpos t{i}")
             if isp:
+                like = tok.replace("*", "%").replace("?", "_")
                 member = (
                     f"t{i}.token IN (SELECT token FROM ("
                     "SELECT DISTINCT token FROM tokpos "
-                    f"WHERE token LIKE '{tok}%' ORDER BY token LIMIT {cap}))"
+                    f"WHERE token LIKE '{like}' ORDER BY token LIMIT {cap}))"
                 )
             else:
                 member = f"t{i}.token = '{tok}'"

@@ -800,15 +800,23 @@ PHRASE_PREFIX_MAX_EXPANSIONS = 50
 
 
 def _split_prefix_tokens(query: str) -> list[tuple[str, bool]]:
-    """Whitespace tokens of a phrase query as (token_or_stem, is_prefix):
-    a trailing '*' with a non-empty stem marks a prefix slot — the same
-    marker convention as query_expand._split_patterns."""
+    """Whitespace tokens of a phrase query as (token, is_glob): a token
+    containing '*' (any run) or '?' (one char) ANYWHERE is a glob slot —
+    trailing-'*' prefix stems are the common case, but leading/infix
+    wildcards work too (same pattern language as
+    query_expand.expand_wildcard). A glob with no literal characters is
+    refused: a match-any slot admits the whole vocabulary at that
+    position, which is a proximity query in disguise, not a phrase."""
     out = []
     for tok in _JAVA_WS_RE.split(query):
         if not tok:
             continue
-        if tok.endswith("*") and len(tok) > 1:
-            out.append((tok[:-1], True))
+        if "*" in tok or "?" in tok:
+            if not tok.replace("*", "").replace("?", ""):
+                raise ValueError(
+                    f"phrase glob slot {tok!r} has no literal "
+                    "characters — refusing the match-any slot")
+            out.append((tok, True))
         else:
             out.append((tok, False))
     return out
@@ -817,49 +825,62 @@ def _split_prefix_tokens(query: str) -> list[tuple[str, bool]]:
 def expand_phrase_want(phrases: DataFrame, terms_df: DataFrame,
                        max_expansions: int = PHRASE_PREFIX_MAX_EXPANSIONS):
     """(pairs, n_terms) want-set for a phrase batch whose tokens may
-    carry trailing-'*' prefix markers — the Lucene MultiPhraseQuery
-    rewrite: each prefix slot expands to its first `max_expansions`
-    dictionary completions in TERM ORDER (the order an FST/sorted-
-    dictionary enumeration yields them — deterministic and mirrored by
-    the `ORDER BY term LIMIT k` oracle; positional postings carry no
+    carry '*'/'?' glob markers — the Lucene MultiPhraseQuery rewrite:
+    each glob slot expands to its first `max_expansions` dictionary
+    completions in TERM ORDER (the order an FST/sorted-dictionary
+    enumeration yields them — deterministic and mirrored by the
+    `ORDER BY term LIMIT k` oracle; positional postings carry no
     per-term df to rank by without decoding, so term order is also the
     only cap the dictionary can serve as a pure range seek).
 
     terms_df: any relation with a `term` column — the positional
     postings/runs themselves (their term column IS the dictionary) or
-    the BM25 index's sorted term_dict sidecar. Stems are driver-side
-    literals, so the probe is a pushed OR of StringStartsWith filters
-    (file/row-group min-max pruning on a term-sorted layout — a range
-    seek, not a dictionary scan); the broadcast stem join afterward
-    only assigns stems to the pruned survivors.
+    the BM25 index's sorted term_dict sidecar. Each glob's literal
+    PREFIX is a driver-side literal, so when every glob has one the
+    probe is a pushed OR of StringStartsWith filters (file/row-group
+    min-max pruning on a term-sorted layout — a range seek); the
+    residual glob verifies by anchored regex on the pruned slice. A
+    leading-wildcard slot has no seek prefix and falls back to the
+    full (vocabulary-sized) enumeration — positional layouts carry no
+    reversed sidecar, and MultiPhrase expansion is already
+    vocabulary-bounded, so this is allowed rather than refused.
 
-    A stem with no completion leaves its slot EMPTY: the phrase then
+    A glob with no completion leaves its slot EMPTY: the phrase then
     matches nothing (a slot that can't be filled admits no tuple) while
     other phrases in the batch proceed. Only mode='simple' tokens carry
-    the marker — the chem analyzer may split a stem into several terms,
+    markers — the chem analyzer may split a stem into several terms,
     which has no single-slot meaning."""
     from pyspark.sql import Window
 
+    from cer_for_mti_spark.operators.query_expand import (
+        _wildcard_literal_prefix,
+        _wildcard_regex,
+    )
+
     rows = phrases.collect()
-    stems = sorted({
-        s for r in rows for s, isp in _split_prefix_tokens(r["query"]) if isp
+    globs = sorted({
+        g for r in rows for g, isg in _split_prefix_tokens(r["query"]) if isg
     })
-    exp: dict[str, list[str]] = {s: [] for s in stems}
-    if stems:
+    exp: dict[str, list[str]] = {g: [] for g in globs}
+    if globs:
         spark = phrases.sparkSession
-        sdf = spark.createDataFrame([(s,) for s in stems], "stem string")
-        w = Window.partitionBy("stem").orderBy(F.asc("term"))
-        pushed = reduce(or_, [F.col("term").startswith(F.lit(s))
-                              for s in stems])
+        gdf = spark.createDataFrame(
+            [(g, _wildcard_regex(g)) for g in globs], "glob string, rx string")
+        w = Window.partitionBy("glob").orderBy(F.asc("term"))
+        base = terms_df.select("term")
+        seeks = [_wildcard_literal_prefix(g) for g in globs]
+        if all(seeks):
+            base = base.filter(reduce(
+                or_, [F.col("term").startswith(F.lit(s)) for s in seeks]))
         hit = (
-            terms_df.select("term").filter(pushed).distinct()
-            .join(F.broadcast(sdf), F.col("term").startswith(F.col("stem")))
+            base.distinct()
+            .join(F.broadcast(gdf), F.expr("rlike(term, rx)"))
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= int(max_expansions))
-            .select("stem", "term")
+            .select("glob", "term")
         )
         for r in hit.collect():
-            exp[r["stem"]].append(r["term"])
+            exp[r["glob"]].append(r["term"])
     pairs, n_terms = [], {}
     for r in rows:
         qid = int(r["query_id"])

@@ -40,12 +40,15 @@ def vocab(toks):
 
 def _slot_sets(vocab, query, cap=CAP):
     """Per-slot allowed-term sets under the engine's expansion rule:
-    first `cap` completions in term order; plain tokens are themselves."""
+    first `cap` glob completions in term order; plain tokens are
+    themselves."""
+    from fnmatch import fnmatchcase
+
     sets = []
-    for tok, isp in ph._split_prefix_tokens(query):
-        if isp:
+    for tok, isg in ph._split_prefix_tokens(query):
+        if isg:
             sets.append(set(sorted(
-                t for t in vocab if t.startswith(tok))[:cap]))
+                t for t in vocab if fnmatchcase(t, tok))[:cap]))
         else:
             sets.append({tok})
     return sets
@@ -246,3 +249,28 @@ def test_prefix_dictionary_probe_pushdown(spark, pos_runs, tmp_path):
     probe = rel.select("term").filter(F.col("term").startswith("th"))
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "StartsWith" in plan and "PushedFilters" in plan, plan
+
+
+GLOB_QUERIES = ["the d?ta", "*ime of", "t*me the", "o? the d?ta"]
+
+
+def test_phrase_glob_slots_vs_bruteforce(spark, webtext, positional,
+                                         pos_runs, toks, vocab):
+    """Slots accept full globs ('?' one char, '*' any run, anywhere —
+    leading and infix included): engine equals the membership-set brute
+    force, and the sharded path is identical."""
+    qs = spark.createDataFrame(list(enumerate(GLOB_QUERIES)),
+                               "query_id int, query string")
+    got = _got_map(ph.phrase_prefix_search(qs, positional))
+    want = _want_map(toks, vocab, GLOB_QUERIES)
+    assert got == want and got
+    sharded = _got_map(ph.phrase_prefix_search_sharded(qs, pos_runs))
+    assert sharded == got
+
+
+def test_phrase_glob_matchall_slot_refused(spark, positional):
+    for bad in ("*", "?", "**"):
+        qs = spark.createDataFrame([(0, f"the {bad}")],
+                                   "query_id int, query string")
+        with pytest.raises(ValueError, match="no literal characters"):
+            ph.phrase_prefix_search(qs, positional)

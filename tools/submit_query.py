@@ -87,9 +87,9 @@ def main() -> None:
                          "enumeration for patterns with no seekable "
                          "literal at either end")
     ap.add_argument("--phrase-prefix", action="store_true",
-                    help="with --phrase: trailing-'*' tokens expand to "
-                         "--max-expansions dictionary completions in "
-                         "term order (MultiPhraseQuery slots)")
+                    help="with --phrase: tokens carrying '*'/'?' expand "
+                         "to --max-expansions dictionary completions in "
+                         "term order (MultiPhraseQuery glob slots)")
     args = ap.parse_args()
     n_exp = sum([args.prefix, args.fuzzy, args.wildcard, args.symspell])
     if n_exp > 1:
