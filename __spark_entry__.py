@@ -89,6 +89,17 @@ WILDCARD_QUERY_SET = [
     (3, "zz*q"),
 ]
 
+# regexp set (Lucene RegexpQuery, /re/ tokens, anchored full-term
+# match): '.' class, alternation, optional group, a no-match pattern
+# (expands to nothing — no literal kept), and a literal in the mix.
+# Patterns stay in the Java∩RE2 common dialect so both engines agree.
+REGEXP_QUERY_SET = [
+    (0, "/d.p/ merge"),
+    (1, "/(scan|merge)/"),
+    (2, "/qu(er)?y/ data"),
+    (3, "/zz+x/"),
+]
+
 # phrase-prefix set: expanding slot mid-phrase, leading slot, repeated
 # prefix slots, an empty-expansion stem (phrase matches nothing while
 # the batch proceeds), a plain phrase riding the same batch, and full
@@ -353,6 +364,22 @@ def q_bm25_wildcard(spark, sf_dir):
     queries = spark.createDataFrame(WILDCARD_QUERY_SET,
                                     "query_id int, query string")
     return qe.bm25_wildcard(queries, dt, ds, n, avgdl, k=10)
+
+
+def q_bm25_regexp(spark, sf_dir):
+    """Regexp term retrieval (Lucene RegexpQuery): '/re/'-wrapped tokens
+    expand to the dictionary terms the anchored regex fully matches,
+    capped (df DESC, term ASC); literal tokens pass through. Oracle
+    mirrors with DuckDB regexp_full_match over the same dictionary."""
+    from cer_for_mti_spark.operators import query_expand as qe
+
+    docs = _docs(spark, sf_dir)
+    dt = ib.build_doc_terms(docs).cache()
+    ds = ib.build_doc_stats(dt)
+    n, avgdl = ib.corpus_stats(ds)
+    queries = spark.createDataFrame(REGEXP_QUERY_SET,
+                                    "query_id int, query string")
+    return qe.bm25_regexp(queries, dt, ds, n, avgdl, k=10)
 
 
 def q_phrase_prefix(spark, sf_dir):
@@ -1357,6 +1384,7 @@ def queries_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bio_decode": q_bio_decode,
         "wordpiece_merge": q_wordpiece_merge,
         "bm25_wildcard": q_bm25_wildcard,
+        "bm25_regexp": q_bm25_regexp,
     }
 
 
@@ -1494,6 +1522,36 @@ def _bm25_wildcard_sql(query_set, max_expansions: int = 50) -> str:
     WHERE p.is_wild) WHERE rn <= {int(max_expansions)}
   UNION
   SELECT query_id, pat FROM pat WHERE NOT is_wild)"""
+    qt = "qt AS (SELECT DISTINCT query_id, term FROM exp)"
+    return _bm25_sql(qt_ctes=", ".join([pat, dic, exp, qt]))
+
+
+def _bm25_regexp_sql(query_set, max_expansions: int = 50) -> str:
+    """BM25 over a regexp expansion — the DuckDB twin of
+    query_expand.expand_regexp: anchored regexp_full_match against the
+    dictionary, capped per pattern by (df DESC, term ASC); regexp
+    tokens keep no literal, literal tokens pass through."""
+    rows = []
+    for qid, q in query_set:
+        for tok in dict.fromkeys(q.split()):
+            if len(tok) >= 2 and tok.startswith("/") and tok.endswith("/"):
+                rows.append((qid, tok[1:-1], "true"))
+            else:
+                rows.append((qid, tok, "false"))
+    assert all("'" not in p for _, p, _ in rows), "patterns must be SQL-safe"
+    vals = ", ".join(f"({qid}, '{p}', {w})" for qid, p, w in rows)
+    pat = (f"pat AS (SELECT * FROM (VALUES {vals}) "
+           "AS p(query_id, pat, is_re))")
+    dic = "dict AS (SELECT term, count(*)::DOUBLE AS df FROM dt GROUP BY 1)"
+    exp = f"""exp AS (
+  SELECT query_id, term FROM (
+    SELECT p.query_id, p.pat, d.term,
+           row_number() OVER (PARTITION BY p.query_id, p.pat
+               ORDER BY d.df DESC, d.term ASC) AS rn
+    FROM pat p JOIN dict d ON regexp_full_match(d.term, p.pat)
+    WHERE p.is_re) WHERE rn <= {int(max_expansions)}
+  UNION
+  SELECT query_id, pat FROM pat WHERE NOT is_re)"""
     qt = "qt AS (SELECT DISTINCT query_id, term FROM exp)"
     return _bm25_sql(qt_ctes=", ".join([pat, dic, exp, qt]))
 
@@ -2329,4 +2387,5 @@ FROM events GROUP BY 1
         "bio_decode": _bio_decode_sql(),
         "wordpiece_merge": _wordpiece_merge_sql(),
         "bm25_wildcard": _bm25_wildcard_sql(WILDCARD_QUERY_SET),
+        "bm25_regexp": _bm25_regexp_sql(REGEXP_QUERY_SET),
     }

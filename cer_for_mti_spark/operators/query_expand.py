@@ -392,6 +392,133 @@ def expand_wildcard(queries: DataFrame, term_dict: DataFrame,
     return _rejoin(exp.unionByName(lit), queries)
 
 
+REGEX_META = set(".?*+{}[]()|\\^$")
+
+
+def _regex_literal_prefix(pat: str) -> str:
+    """Mandatory literal prefix of a regex — the characters every match
+    must start with (Lucene RegexpQuery seeks the automaton's common
+    prefix; this is the conservative approximation: stop at the first
+    metacharacter, and don't count a literal whose NEXT char is a
+    quantifier, since `ab?` matches 'a')."""
+    out = []
+    for i, c in enumerate(pat):
+        if c in REGEX_META:
+            break
+        if i + 1 < len(pat) and pat[i + 1] in "*?+{":
+            break
+        out.append(c)
+    return "".join(out)
+
+
+def _split_regexps_driver_side(queries_rows):
+    """Per-batch (regex patterns, literal toks): a token wrapped in
+    slashes (/re/ — the Lucene/Solr RegexpQuery syntax) is a regex
+    pattern matched against WHOLE terms (anchored). Patterns are
+    validated eagerly (a bad regex raises here, not inside a task) and
+    an empty pattern is refused."""
+    import re as _re
+
+    pats, lits = set(), set()
+    for r in queries_rows:
+        for tok in (r["query"] or "").split():
+            if len(tok) >= 2 and tok.startswith("/") and tok.endswith("/"):
+                body = tok[1:-1]
+                if not body:
+                    raise ValueError("regexp token '//' is empty")
+                try:
+                    _re.compile(body)
+                except _re.error as e:
+                    raise ValueError(
+                        f"invalid regexp token {tok!r}: {e}") from e
+                pats.add(body)
+            else:
+                lits.add(tok)
+    return sorted(pats), sorted(lits)
+
+
+def expand_regexp(queries: DataFrame, term_dict: DataFrame,
+                  max_expansions: int = 50) -> DataFrame:
+    """Lucene RegexpQuery rewrite: '/re/'-wrapped tokens expand to the
+    dictionary terms the ANCHORED regex fully matches, capped per
+    pattern by (df DESC, term ASC); literal tokens pass through. Same
+    SCORING_BOOLEAN shape as expand_wildcard — the wildcard rewrite is
+    in fact the special case of this one with globs compiled down."""
+    q_rows = queries.select("query_id", "query").collect()
+    spark = queries.sparkSession
+    rows = []
+    for r in q_rows:
+        pats, lits = _split_regexps_driver_side([r])
+        for p in pats:
+            rows.append((int(r["query_id"]), p, f"^(?:{p})$", True))
+        for t in lits:
+            rows.append((int(r["query_id"]), t, "", False))
+    if not rows:
+        return _rejoin(
+            spark.createDataFrame([], "query_id int, term string"), queries)
+    pv = spark.createDataFrame(
+        rows, "query_id int, pat string, rx string, is_re boolean")
+    lit = (pv.filter(~F.col("is_re"))
+           .select("query_id", F.col("pat").alias("term")))
+    cand = term_dict.join(F.broadcast(pv.filter("is_re")),
+                          F.expr("rlike(term, rx)"))
+    w = Window.partitionBy("query_id", "pat").orderBy(
+        F.desc("df"), F.asc("term"))
+    exp = (cand.withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") <= int(max_expansions))
+           .select("query_id", "term"))
+    return _rejoin(exp.unionByName(lit), queries)
+
+
+def bm25_regexp(queries: DataFrame, doc_terms: DataFrame,
+                doc_stats: DataFrame, n_docs: int, avgdl: float,
+                k: int = 10, max_expansions: int = 50) -> DataFrame:
+    """Regexp-expanded BM25 over the open relations (the DuckDB-oracle
+    twin — RE2 and Java regex agree on the conservative pattern subset
+    the oracles use)."""
+    from cer_for_mti_spark.operators import bm25
+
+    expanded = expand_regexp(
+        queries, term_dict_from_doc_terms(doc_terms), max_expansions)
+    return bm25.bm25_naive(expanded, doc_terms, doc_stats, n_docs, avgdl,
+                           k=k, mode="simple")
+
+
+def bm25_regexp_sharded_from_index(spark, index_path: str,
+                                   queries: DataFrame, n_docs: int,
+                                   avgdl: float, k: int = 10,
+                                   num_shards: int | None = None,
+                                   max_expansions: int = 50,
+                                   allow_full_scan: bool = False,
+                                   tombstones="auto") -> DataFrame:
+    """Index-scan regexp retrieval: each pattern's MANDATORY literal
+    prefix seeks the sorted term_dict (pushed StartsWith), the anchored
+    regex verifies the pruned slice, and the rewritten disjunction runs
+    through the sharded block-max scorer. A pattern with no mandatory
+    prefix ('/[ab]c+/', '/.*x/') cannot prune the dictionary — refused
+    unless allow_full_scan=True makes the vocabulary enumeration
+    explicit (the reversed sidecar doesn't help here: regex suffixes
+    aren't mandatory-literal in general)."""
+    from cer_for_mti_spark.operators import bm25
+
+    q_rows = queries.collect()
+    pats, _lits = _split_regexps_driver_side(q_rows)
+    seeks = {_regex_literal_prefix(p) for p in pats}
+    if "" in seeks and not allow_full_scan:
+        raise ValueError(
+            "regexp pattern(s) have no mandatory literal prefix to seek "
+            "— the dictionary scan is unprunable; pass "
+            "allow_full_scan=True to accept the full-vocabulary "
+            "enumeration."
+        )
+    td = term_dict_from_runs_index(
+        spark, index_path, None if "" in seeks else sorted(seeks))
+    expanded = expand_regexp(queries, td, max_expansions)
+    return bm25.bm25_wand_sharded_from_index(
+        spark, index_path, expanded, n_docs, avgdl, k=k, mode="simple",
+        num_shards=num_shards, tombstones=tombstones)
+
+
 def bm25_wildcard(queries: DataFrame, doc_terms: DataFrame,
                   doc_stats: DataFrame, n_docs: int, avgdl: float,
                   k: int = 10, max_expansions: int = 50) -> DataFrame:

@@ -34,6 +34,7 @@ ALLOWED_NESTED_LOOP = {
     # sidecars (plan-asserted in test_query_expand / test_rev_dict).
     "bm25_prefix",         # startswith(term, pat) theta-join
     "bm25_wildcard",       # rlike(term, rx) theta-join
+    "bm25_regexp",         # rlike(term, rx) theta-join
 }
 
 # driver-side-iterative or reference-IO-heavy entries: plan built by

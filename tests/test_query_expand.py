@@ -284,3 +284,74 @@ def test_bm25_wildcard_from_index_identity_and_leading_guard(
         allow_leading=True))
     want = _key(qe.bm25_wildcard(lead, dt, ds, n, avgdl, k=10))
     assert got == want and got
+
+
+# --- regexp term queries (Lucene RegexpQuery) -----------------------------
+
+def test_expand_regexp_ground_truth(spark):
+    dt = ib.build_doc_terms(_corpus(spark))
+    td = qe.term_dict_from_doc_terms(dt)
+    qs = spark.createDataFrame(
+        [(0, "/d.g/ base"), (1, "/(data|dog)/"), (2, "/da.a(base)?/"),
+         (3, "/zz+/")],
+        "query_id int, query string")
+    got = _expanded_map(qe.expand_regexp(qs, td, max_expansions=50))
+    assert got[0] == {"dog", "base"}
+    assert got[1] == {"data", "dog"}
+    assert got[2] == {"data", "database"}
+    assert got[3] == set()  # no match, no literal kept
+
+    # cap order df DESC, term ASC (data df=4 first)
+    capped = _expanded_map(qe.expand_regexp(qs, td, max_expansions=1))
+    assert capped[2] == {"data"}
+
+
+def test_regexp_invalid_or_empty_raises(spark):
+    dt = ib.build_doc_terms(_corpus(spark))
+    td = qe.term_dict_from_doc_terms(dt)
+    for bad in ("/(/", "//"):
+        qs = spark.createDataFrame([(0, f"{bad} data")],
+                                   "query_id int, query string")
+        with pytest.raises(ValueError):
+            qe.expand_regexp(qs, td)
+
+
+def test_regexp_literal_prefix_extraction():
+    f = qe._regex_literal_prefix
+    assert f("dog") == "dog"
+    assert f("d.g") == "d"
+    assert f("da[tb]a") == "da"
+    assert f("ab?c") == "a"      # 'b?' optional -> prefix stops at 'a'
+    assert f("(data|dog)") == ""
+    assert f(".*x") == ""
+    assert f("scan{1,2}") == "sca"  # 'n{1,2}' quantified
+
+
+def test_bm25_regexp_from_index_identity_and_guard(spark, tmp_path):
+    docs = datagen.generate_webtext(spark, 300, seed=11).cache()
+    dt = ib.build_doc_terms(docs).cache()
+    ds = ib.build_doc_stats(dt)
+    n, avgdl = ib.corpus_stats(ds)
+    runs = ib.build_posting_runs(dt, ds, avgdl, salt=4, n_docs=n)
+    idx = str(tmp_path / "re_idx")
+    ib.write_runs_index(runs, ds, idx, num_shards=4)
+
+    qs = spark.createDataFrame(
+        [(0, "/s.stem/ join"), (1, "/da(ta)+/"), (2, "/t.me(s)?/")],
+        "query_id int, query string")
+    mem = _key(qe.bm25_regexp(qs, dt, ds, n, avgdl, k=10,
+                              max_expansions=4))
+    viaidx = _key(qe.bm25_regexp_sharded_from_index(
+        spark, idx, qs, n, avgdl, k=10, num_shards=4, max_expansions=4))
+    assert mem == viaidx and mem
+
+    free = spark.createDataFrame([(0, "/[bd]ata/ join")],
+                                 "query_id int, query string")
+    with pytest.raises(ValueError, match="allow_full_scan"):
+        qe.bm25_regexp_sharded_from_index(
+            spark, idx, free, n, avgdl, k=10, num_shards=4)
+    got = _key(qe.bm25_regexp_sharded_from_index(
+        spark, idx, free, n, avgdl, k=10, num_shards=4,
+        allow_full_scan=True))
+    want = _key(qe.bm25_regexp(free, dt, ds, n, avgdl, k=10))
+    assert got == want and got

@@ -82,22 +82,28 @@ def main() -> None:
                          "a fuzzy_dict sidecar: prefixLength=0 "
                          "semantics (first-char typos expand) at "
                          "--fuzzy-dist edits")
+    ap.add_argument("--regexp", action="store_true",
+                    help="regexp retrieval over a RUNS index: "
+                         "'/re/'-wrapped tokens expand to dictionary "
+                         "terms the anchored regex fully matches "
+                         "(mandatory-literal-prefix seek)")
     ap.add_argument("--allow-leading", action="store_true",
-                    help="with --wildcard: accept the full-dictionary "
-                         "enumeration for patterns with no seekable "
-                         "literal at either end")
+                    help="with --wildcard/--regexp: accept the "
+                         "full-dictionary enumeration for patterns "
+                         "with no seekable literal prefix")
     ap.add_argument("--phrase-prefix", action="store_true",
                     help="with --phrase: tokens carrying '*'/'?' expand "
                          "to --max-expansions dictionary completions in "
                          "term order (MultiPhraseQuery glob slots)")
     args = ap.parse_args()
-    n_exp = sum([args.prefix, args.fuzzy, args.wildcard, args.symspell])
+    n_exp = sum([args.prefix, args.fuzzy, args.wildcard, args.symspell,
+                 args.regexp])
     if n_exp > 1:
-        raise SystemExit("--prefix/--fuzzy/--wildcard/--symspell are "
-                         "mutually exclusive")
+        raise SystemExit("--prefix/--fuzzy/--wildcard/--symspell/--regexp "
+                         "are mutually exclusive")
     if n_exp and (args.conjunctive or args.phrase or args.exclude):
-        raise SystemExit("--prefix/--fuzzy/--wildcard/--symspell do not "
-                         "compose with --conjunctive/--phrase/--exclude")
+        raise SystemExit("expansion flags do not compose with "
+                         "--conjunctive/--phrase/--exclude")
     if n_exp and args.mode != "simple":
         raise SystemExit("expansion flags expand to already-analyzed "
                          "terms; only --mode simple is supported")
@@ -165,6 +171,12 @@ def main() -> None:
                 spark, args.index, queries, n, avgdl, k=args.k,
                 num_shards=args.shards, max_dist=args.fuzzy_dist,
                 max_expansions=args.max_expansions, tombstones=tomb)
+        elif args.regexp:
+            out = qe.bm25_regexp_sharded_from_index(
+                spark, args.index, queries, n, avgdl, k=args.k,
+                num_shards=args.shards,
+                max_expansions=args.max_expansions,
+                allow_full_scan=args.allow_leading, tombstones=tomb)
         else:
             out = qe.bm25_fuzzy_sharded_from_index(
                 spark, args.index, queries, n, avgdl, k=args.k,
