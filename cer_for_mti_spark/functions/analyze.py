@@ -88,6 +88,128 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return html.map(extract_text_bytes)
 
 
+# --- vectorized (Arrow) analyzer twins --------------------------------------
+#
+# The scalar chem_tokenize_str above is the SPEC (and what golden tests pin);
+# the Arrow kernels below are its batch twins, property-tested byte-identical
+# (tests/test_analyze_vectorized.py). They exist because the per-token Python
+# loop was the index build's dominant CPU cost (~1.4M tokens/s/core); the
+# kernel pipeline runs the same rules at ~10x that.
+
+# Every code point Python's \s matches (str patterns): ASCII whitespace,
+# \x1c-\x1f, and the Unicode White_Space set. U+3000 is the highest such
+# code point (asserted over the full range in tests), so scanning to it is
+# exhaustive.
+_PY_WS_CHARS = "".join(
+    chr(c) for c in range(0x3001) if _TOKEN_SPLIT_RE.match(chr(c))
+)
+_WS_CLASS_RE2 = "[" + _PY_WS_CHARS + "]+"
+_CASE_RE2 = "^([a-z]+|[A-Z][a-z]*)$"
+_GREEK_CLASS_RE2 = "[" + "".join(GREEK_MAP) + "]"
+
+
+def _tokenize_flat_pa(arr, mode: str = "chem"):
+    """Batch tokenizer over a pyarrow string array.
+
+    Returns (flat_tokens: pa.StringArray, offsets: np.ndarray[int64]) —
+    row i's normalized tokens are flat[offsets[i]:offsets[i+1]], exactly
+    chem_tokenize_str(row_i) (mode='chem'), that plus greek_variants
+    appended (mode='chem+greek'), or the raw \\s+ split with empties
+    dropped (mode='simple', the Java-\\s JVM-split twin)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+    if mode == "simple":
+        # ASCII whitespace == Java \s == _JAVA_WS_RE; empties filtered below
+        toks = pc.ascii_split_whitespace(arr)
+    else:
+        toks = pc.split_pattern_regex(arr, _WS_CLASS_RE2)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    offs0 = np.concatenate(([0], np.cumsum(lens, dtype=np.int64)))
+    flat = pc.list_flatten(toks)
+    if mode == "simple":
+        keep = pc.not_equal(flat, "")
+        trimmed = flat
+    else:
+        trimmed = pc.utf8_trim(flat, _EDGE_PUNCT)
+        keep = pc.not_equal(trimmed, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    ck = np.concatenate(([0], np.cumsum(keep_np, dtype=np.int64)))
+    offs = ck[offs0]
+    kept = trimmed.filter(keep)
+    if mode == "simple":
+        return kept, offs
+    # NFC: ASCII tokens are already normal; route only the non-ASCII
+    # minority through Python's normalizer (pyarrow's utf8_normalize does
+    # not COMPOSE — verified on 16.1 — so it cannot implement NFC here)
+    is_ascii = pc.string_is_ascii(kept)
+    if pc.min(is_ascii).as_py() is False:
+        namask = pc.invert(is_ascii)
+        na = kept.filter(namask)
+        na_norm = pa.array(
+            [unicodedata.normalize("NFC", s) for s in na.to_pylist()],
+            type=pa.string(),
+        )
+        norm = pc.replace_with_mask(kept, namask, na_norm)
+    else:
+        norm = kept
+    fold = pc.match_substring_regex(norm, _CASE_RE2)
+    out = pc.if_else(fold, pc.ascii_lower(norm), norm)
+    if mode == "chem":
+        return out, offs
+    if mode != "chem+greek":
+        raise ValueError(f"unknown tokenize mode {mode!r}")
+    # greek variants: additional canonical forms appended after the doc's
+    # surface tokens, in source-token order (greek_variants semantics)
+    gmask = pc.match_substring_regex(out, _GREEK_CLASS_RE2)
+    g_np = gmask.to_numpy(zero_copy_only=False)
+    if not g_np.any():
+        return out, offs
+    gidx = np.flatnonzero(g_np)
+    variants = [
+        "".join(GREEK_MAP.get(c, c) for c in t)
+        for t in out.take(pa.array(gidx)).to_pylist()
+    ]
+    n_rows = len(offs) - 1
+    base_doc = np.repeat(np.arange(n_rows, dtype=np.int64),
+                         np.diff(offs))
+    var_doc = base_doc[gidx]
+    all_doc = np.concatenate([base_doc, var_doc])
+    all_grp = np.concatenate([np.zeros(len(base_doc), dtype=np.int8),
+                              np.ones(len(var_doc), dtype=np.int8)])
+    all_src = np.concatenate([np.arange(len(base_doc), dtype=np.int64),
+                              gidx])
+    order = np.lexsort((all_src, all_grp, all_doc))
+    combined = pa.concat_arrays(
+        [out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out,
+         pa.array(variants, type=pa.string())]
+    )
+    out2 = combined.take(pa.array(order))
+    counts = np.bincount(all_doc, minlength=n_rows).astype(np.int64)
+    offs2 = np.concatenate(([0], np.cumsum(counts)))
+    return out2, offs2
+
+
+def tokenize_arrow(arr, mode: str = "chem"):
+    """Batch tokenizer returning a pa.ListArray (one token list per row)."""
+    import numpy as np
+    import pyarrow as pa
+
+    flat, offs = _tokenize_flat_pa(arr, mode)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    if offs[-1] <= np.iinfo(np.int32).max:
+        return pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()), flat)
+    return pa.LargeListArray.from_arrays(
+        pa.array(offs, type=pa.int64()), flat)
+
+
 def _norm_token(tok: str) -> str | None:
     tok = tok.strip(_EDGE_PUNCT)
     if not tok:
@@ -123,16 +245,36 @@ def greek_variants(tokens: list[str]) -> list[str]:
 
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def chem_tokenize_udf(text: pd.Series) -> pd.Series:
-    return text.map(lambda s: chem_tokenize_str(s) if s is not None else [])
+    import pyarrow as pa
+
+    arr = pa.Array.from_pandas(text, type=pa.string())
+    return tokenize_arrow(arr, "chem").to_pandas()
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def chem_tokenize_with_variants_udf(text: pd.Series) -> pd.Series:
-    def go(s: str | None) -> list[str]:
-        toks = chem_tokenize_str(s) if s is not None else []
-        return toks + greek_variants(toks)
+    import pyarrow as pa
 
-    return text.map(go)
+    arr = pa.Array.from_pandas(text, type=pa.string())
+    return tokenize_arrow(arr, "chem+greek").to_pandas()
+
+
+def make_token_count_udf(mode: str):
+    """(text) -> token count, without materializing the token lists
+    through the Arrow boundary — the doc_stats fast path (doclen is the
+    only thing that pass needs; shipping 100M+ strings back to the JVM
+    just to F.size them was pure overhead)."""
+
+    @F.pandas_udf(T.LongType())
+    def token_count(text: pd.Series) -> pd.Series:
+        import numpy as np
+        import pyarrow as pa
+
+        arr = pa.Array.from_pandas(text, type=pa.string())
+        _, offs = _tokenize_flat_pa(arr, mode)
+        return pd.Series(np.diff(offs))
+
+    return token_count
 
 
 def simple_tokens_col(text_col: str | Column = "text") -> Column:

@@ -120,38 +120,59 @@ def _object_df(out: dict) -> pd.DataFrame:
     return pd.DataFrame({k: pd.Series(v, dtype=object) for k, v in out.items()})
 
 
+def _batch_doc_term_counts(texts: pd.Series, mode: str):
+    """Vectorized tokenize + per-(doc, term) counting for one Arrow batch.
+
+    Returns (doc_pos, terms, tfs, doclens):
+      doc_pos : int64 batch-row index of each (doc, term) pair, ascending
+      terms   : object ndarray of the pair's term string
+      tfs     : int64 term frequency
+      doclens : int64 token count per BATCH ROW (len == len(texts))
+    Pairs are ordered doc-major, then by FIRST OCCURRENCE within the doc
+    (Counter key order — byte-compatible with the scalar path)."""
+    import pyarrow as pa
+
+    from cer_for_mti_spark.functions.analyze import _tokenize_flat_pa
+
+    arr = pa.Array.from_pandas(texts, type=pa.string())
+    flat, offs = _tokenize_flat_pa(arr, mode)
+    n_rows = len(offs) - 1
+    doclens = np.diff(offs)
+    if offs[-1] == 0:
+        z = np.array([], dtype=np.int64)
+        return z, np.array([], dtype=object), z, doclens
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+    n_dict = len(vocab)
+    doc_idx = np.repeat(np.arange(n_rows, dtype=np.int64), doclens)
+    key = doc_idx * n_dict + codes
+    uk, first_idx, tf = np.unique(key, return_index=True, return_counts=True)
+    order = np.argsort(first_idx, kind="stable")  # doc-major, 1st-occurrence
+    uk, tf = uk[order], tf[order]
+    return uk // n_dict, vocab[uk % n_dict], tf.astype(np.int64), doclens
+
+
 def _make_term_counts_udf(mode: str):
     """Arrow-batched tokenize + per-doc term counting in ONE Python
-    crossing. The per-doc Counter replaces the groupBy(doc_id, term)
+    crossing. The per-doc counting replaces the groupBy(doc_id, term)
     shuffle of the declarative path: every token of a doc is already
     co-located in its row, so that shuffle moved the complete doc_terms
-    relation while reducing nothing."""
-    from collections import Counter
-
-    from cer_for_mti_spark.functions.analyze import chem_tokenize_str
-
-    if mode == "simple":
-        def toks(s: str) -> list[str]:
-            return [t for t in _JAVA_WS_RE.split(s) if t] if s else []
-    elif mode in ("chem", "chem+greek"):
-        from cer_for_mti_spark.functions.analyze import greek_variants
-
-        def toks(s: str) -> list[str]:
-            out = chem_tokenize_str(s) if s else []
-            if mode == "chem+greek":
-                out = out + greek_variants(out)
-            return out
-    else:
+    relation while reducing nothing. Tokenize + count are fully
+    vectorized (analyze._tokenize_flat_pa + np.unique)."""
+    if mode not in ("simple", "chem", "chem+greek"):
         raise ValueError(f"unknown tokenize mode {mode!r}")
 
     @F.pandas_udf(_COUNTS_SCHEMA)
     def term_counts(text: pd.Series) -> pd.DataFrame:
-        terms_col, tfs_col = [], []
-        for s in text:
-            c = Counter(toks(s))
-            terms_col.append(list(c.keys()))
-            tfs_col.append(list(c.values()))
-        return _object_df({"terms": terms_col, "tfs": tfs_col})
+        doc_pos, terms, tfs, doclens = _batch_doc_term_counts(text, mode)
+        n_rows = len(doclens)
+        per_doc = np.bincount(doc_pos, minlength=n_rows)
+        cuts = np.cumsum(per_doc)[:-1]
+        return _object_df({
+            "terms": np.split(terms, cuts),
+            "tfs": np.split(tfs.astype(np.int32), cuts),
+        })
 
     return term_counts
 
@@ -187,6 +208,15 @@ def build_doc_stats(doc_terms_or_docs: DataFrame, text_col: str = "text",
     if "tf" in cols:
         return doc_terms_or_docs.groupBy("doc_id").agg(
             F.sum("tf").cast("long").alias("doclen")
+        )
+    if mode in ("chem", "chem+greek"):
+        # count-only UDF: doclen is all this pass needs — shipping the
+        # full token arrays back through Arrow just to F.size them
+        # roughly doubled the build's Python-boundary bytes (guide §4.1)
+        return doc_terms_or_docs.select(
+            "doc_id",
+            analyze.make_token_count_udf(mode)(F.col(text_col))
+            .alias("doclen"),
         )
     toks = analyze.tokenize(
         doc_terms_or_docs.select("doc_id", text_col), text_col, mode
@@ -530,25 +560,16 @@ def build_postings_spimi(docs: DataFrame, avgdl: float,
     partition's accumulated (term -> postings) state reaches it, the run
     set is FLUSHED (encoded and emitted) and accumulation restarts — a
     term then simply contributes several runs from that partition, all
-    disjoint contiguous doc slices, so the byte-concat merge is unchanged.
-    This bounds executor memory by the budget, not the split size."""
-    from collections import defaultdict
+    disjoint contiguous doc slices (flushes are doc-aligned), so the
+    byte-concat merge is unchanged. This bounds executor memory by the
+    budget, not the split size.
 
-    if mode == "simple":
-        def toks(s: str) -> list[str]:
-            return [t for t in _JAVA_WS_RE.split(s) if t] if s else []
-    elif mode in ("chem", "chem+greek"):
-        from cer_for_mti_spark.functions.analyze import (
-            chem_tokenize_str,
-            greek_variants,
-        )
-
-        def toks(s: str) -> list[str]:
-            out = chem_tokenize_str(s) if s else []
-            if mode == "chem+greek":
-                out = out + greek_variants(out)
-            return out
-    else:
+    The whole pass is vectorized (guide §4.2): tokenize + per-doc term
+    counting run through Arrow/numpy kernels (_batch_doc_term_counts),
+    accumulation holds flat numpy arrays keyed by a partition-local term
+    id, and the flush groups them with one lexsort — no per-token or
+    per-posting Python object ever exists."""
+    if mode not in ("simple", "chem", "chem+greek"):
         raise ValueError(f"unknown tokenize mode {mode!r}")
 
     run_schema_str = (
@@ -558,50 +579,85 @@ def build_postings_spimi(docs: DataFrame, avgdl: float,
     )
 
     def spimi_partition(batches):
-        from collections import Counter
-
-        acc: dict[str, list] = defaultdict(lambda: ([], [], []))
-        n_postings = 0
+        vocab: dict = {}          # term -> partition-local gid
+        gid_terms: list = []      # gid -> term
+        parts: list = []          # accumulated (gid, doc_id, tf, dl) arrays
+        n_acc = 0                 # postings accumulated since last flush
 
         def flush():
+            nonlocal parts, n_acc
             out = {
                 "term": [], "first_id": [], "last_id": [], "df": [],
                 "doc_ids": [], "tfs": [], "doclens": [],
                 "block_last": [], "block_max": [], "max_impact": [],
             }
-            for term, (ids_l, tfs_l, dls_l) in acc.items():
-                ids = np.asarray(ids_l, dtype=np.int64)
-                order = np.argsort(ids, kind="stable")
-                ids = ids[order]
-                tfs = np.asarray(tfs_l, dtype=np.uint64)[order]
-                dls = np.asarray(dls_l, dtype=np.uint64)[order]
-                d, t, dl_b, bl, bm, mi = _encode_arrays(ids, tfs, dls, avgdl)
-                out["term"].append(term)
-                out["first_id"].append(int(ids[0]))
-                out["last_id"].append(int(ids[-1]))
-                out["df"].append(len(ids))
-                out["doc_ids"].append(d)
-                out["tfs"].append(t)
-                out["doclens"].append(dl_b)
-                out["block_last"].append(bl)
-                out["block_max"].append(bm)
-                out["max_impact"].append(mi)
-            acc.clear()
+            if n_acc:
+                g = np.concatenate([p[0] for p in parts])
+                d = np.concatenate([p[1] for p in parts])
+                t = np.concatenate([p[2] for p in parts])
+                dl = np.concatenate([p[3] for p in parts])
+                order = np.lexsort((d, g))
+                g, d, t, dl = g[order], d[order], t[order], dl[order]
+                bounds = np.flatnonzero(g[1:] != g[:-1]) + 1
+                starts = np.concatenate(([0], bounds, [len(g)]))
+                for s, e in zip(starts[:-1], starts[1:]):
+                    ids = d[s:e]
+                    db, tb, dlb, bl, bm, mi = _encode_arrays(
+                        ids, t[s:e].astype(np.uint64),
+                        dl[s:e].astype(np.uint64), avgdl)
+                    out["term"].append(gid_terms[g[s]])
+                    out["first_id"].append(int(ids[0]))
+                    out["last_id"].append(int(ids[-1]))
+                    out["df"].append(len(ids))
+                    out["doc_ids"].append(db)
+                    out["tfs"].append(tb)
+                    out["doclens"].append(dlb)
+                    out["block_last"].append(bl)
+                    out["block_max"].append(bm)
+                    out["max_impact"].append(mi)
+            parts, n_acc = [], 0
             return _object_df(out)
 
         for pdf in batches:
-            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
-                c = Counter(toks(text))
-                dl = sum(c.values())
-                for term, tf in c.items():
-                    ids, tfs, dls = acc[term]
-                    ids.append(doc_id)
-                    tfs.append(tf)
-                    dls.append(dl)
-                n_postings += len(c)
-                if n_postings >= max_postings_in_memory:
-                    yield flush()  # SPIMI memory-budget flush
-                    n_postings = 0
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            doc_pos, terms, tfs, doclens = _batch_doc_term_counts(
+                pdf[text_col], mode)
+            if not len(doc_pos):
+                continue
+            # partition-local gid per pair (dict lookups only on the
+            # batch's ~|vocab| distinct terms, not per pair)
+            b_terms, b_inv = np.unique(terms, return_inverse=True)
+            gmap = np.empty(len(b_terms), dtype=np.int64)
+            for j, term in enumerate(b_terms):
+                gid = vocab.get(term)
+                if gid is None:
+                    gid = len(gid_terms)
+                    vocab[term] = gid
+                    gid_terms.append(term)
+                gmap[j] = gid
+            gids = gmap[b_inv]
+            d_arr = doc_ids[doc_pos]
+            dl_arr = doclens[doc_pos]
+            # doc-aligned budget flushes, same boundaries as the scalar
+            # path: flush right after the doc whose postings reach the
+            # budget. doc_pos is ascending, so doc ranges are contiguous.
+            per_doc = np.bincount(doc_pos, minlength=len(doclens))
+            cum = n_acc + np.cumsum(per_doc)
+            lo = 0  # pair-array start of the unflushed remainder
+            while cum[-1] >= max_postings_in_memory:
+                # first doc at which the running total reaches the budget;
+                # flush everything up to and INCLUDING it (scalar semantics)
+                j = int(np.searchsorted(cum, max_postings_in_memory))
+                hi = int(np.searchsorted(doc_pos, j, side="right"))
+                parts.append((gids[lo:hi], d_arr[lo:hi],
+                              tfs[lo:hi], dl_arr[lo:hi]))
+                n_acc = int(cum[j])
+                yield flush()  # resets parts and n_acc
+                cum = cum - cum[j]
+                lo = hi
+            if lo < len(gids):
+                parts.append((gids[lo:], d_arr[lo:], tfs[lo:], dl_arr[lo:]))
+            n_acc = int(cum[-1])
         yield flush()
 
     runs = docs.select("doc_id", text_col).mapInPandas(
@@ -1421,12 +1477,27 @@ def append_runs_index(spark, index_path: str, new_docs: DataFrame,
                 fail_after=fail_after)
             if _find_inflight_batch(index_path) is not None:
                 return 0  # the resume itself aborted (fail_after hook)
-            committed = spark.read.parquet(
-                f"{index_path}/doc_stats").select("doc_id")
+            # manifest-aware read: on a manifest-mode index a bare
+            # parquet read would count torn/uncommitted doc_stats objects
+            # as committed and misclassify a novel delta as a pure resend
+            committed = read_index_rel(
+                spark, index_path, "doc_stats").select("doc_id")
             novel = new_docs.select("doc_id").distinct().join(
                 committed, "doc_id", "left_anti").count()
             if not novel:
                 return n_resumed
+            # mixed resend+novel delta: restage only the novel remainder
+            # (the resumed portion is committed now and must not trip the
+            # overlap check under on_conflict='error'), and return the
+            # NOVEL count — the pure-resend branch above returns the
+            # resumed count, a full-novel delta its own count (tested).
+            # Docs that already existed before the crash are
+            # indistinguishable from the resumed portion and are skipped.
+            remainder = new_docs.join(committed, "doc_id", "left_anti")
+            return append_runs_index(
+                spark, index_path, remainder, avgdl, mode=mode, salt=salt,
+                n_docs=n_docs, num_shards=num_shards,
+                on_conflict=on_conflict, fail_after=fail_after)
     elif inflight is not None and inflight != batch_id:
         raise ValueError(
             f"append_runs_index: batch {inflight!r} is staged but not fully "
@@ -1779,6 +1850,14 @@ def load_tombstones(spark, index_path: str,
     guard-or-shard policy as phrase_search's max_posting_bytes."""
     import numpy as _np
 
+    # fast path: no sidecar directory -> no tombstones, no Spark job.
+    # (query paths call this once per batch; an empty-relation count()
+    # still costs a full job-submit round trip)
+    d = f"{index_path}/tombstones"
+    if not os.path.isdir(d) or not any(
+        not f.startswith(("_", ".")) for f in os.listdir(d)
+    ):
+        return None
     tomb = read_tombstones(spark, index_path)
     n = tomb.count()
     if not n:
@@ -1858,6 +1937,17 @@ def compact_runs_index(spark, index_path: str, avgdl: float,
 
     Returns (runs_before, runs_after)."""
     num_shards = resolve_num_shards(index_path, num_shards)
+    inflight = _find_inflight_batch(index_path)
+    if inflight is not None:
+        # same guard as vacuum_index/write_fuzzy_dict: compacting while a
+        # crashed append is staged would fold its already-committed run
+        # units into the new base, and the later resume would then
+        # double-commit the batch's dictionary deltas on top
+        raise ValueError(
+            f"compact_runs_index: append batch {inflight!r} at "
+            f"{index_path} is staged but not fully committed; resume it "
+            "first (append_runs_index with batch_id=None completes it)."
+        )
     repair_interrupted_compaction(index_path, "runs")
     repair_interrupted_compaction(index_path, "term_dict")
     repair_interrupted_compaction(index_path, "fuzzy_dict")

@@ -58,74 +58,133 @@ POSITIONAL_SCHEMA = (
 PHRASE_HIT_SCHEMA = "phrase_id int, doc_id long, n_matches int"
 
 
+def _make_positional_partition(mode: str, text_col: str,
+                               max_postings_in_memory: int,
+                               width: int | None):
+    """Shared vectorized SPIMI positional pass (guide §4.2): tokenize +
+    per-occurrence position assignment run through Arrow/numpy kernels;
+    accumulation holds flat (gid, doc_id, pos) arrays; the flush groups
+    them with one lexsort. width=None emits per-term runs
+    (POSITIONAL_RUN_SCHEMA); an int width adds the doc-range bucket
+    column (POSITIONAL_RUN_BUCKET_SCHEMA). Flushes are doc-aligned, so
+    runs stay contiguous doc slices and the byte-concat merge holds."""
+    if mode not in ("simple", "chem", "chem+greek"):
+        raise ValueError(f"unknown tokenize mode {mode!r}")
+    tok_mode = "simple" if mode == "simple" else "chem"
+
+    def part(batches):
+        import pyarrow as pa
+
+        from cer_for_mti_spark.functions.analyze import _tokenize_flat_pa
+
+        vocab: dict = {}
+        gid_terms: list = []
+        parts: list = []   # accumulated (gid, doc_id, pos) occurrence arrays
+        n_acc = 0          # accumulated POSTING count (distinct doc-term)
+
+        def flush():
+            nonlocal parts, n_acc
+            if width is None:
+                out = {
+                    "term": [], "first_id": [], "last_id": [], "df": [],
+                    "doc_ids": [], "tfs": [], "positions": [],
+                }
+            else:  # schema order of POSITIONAL_RUN_BUCKET_SCHEMA
+                out = {
+                    "term": [], "bucket": [], "first_id": [], "last_id": [],
+                    "df": [], "doc_ids": [], "tfs": [], "positions": [],
+                }
+            if parts:
+                g = np.concatenate([p[0] for p in parts])
+                d = np.concatenate([p[1] for p in parts])
+                p_ = np.concatenate([p[2] for p in parts])
+                order = np.lexsort((p_, d, g))
+                g, d, p_ = g[order], d[order], p_[order]
+                docstart = np.empty(len(g), dtype=bool)
+                docstart[0] = True
+                docstart[1:] = (g[1:] != g[:-1]) | (d[1:] != d[:-1])
+                gaps = np.where(docstart, p_, p_ - np.roll(p_, 1))
+                if width is None:
+                    rowstart = g[1:] != g[:-1]
+                else:
+                    bkt = d // width
+                    rowstart = (g[1:] != g[:-1]) | (bkt[1:] != bkt[:-1])
+                bounds = np.flatnonzero(rowstart) + 1
+                starts = np.concatenate(([0], bounds, [len(g)]))
+                ds_idx = np.flatnonzero(docstart)
+                for s, e in zip(starts[:-1], starts[1:]):
+                    lo = np.searchsorted(ds_idx, s)
+                    hi = np.searchsorted(ds_idx, e)
+                    docs_at = ds_idx[lo:hi]
+                    ids = d[docs_at]
+                    tfs = np.diff(np.concatenate((docs_at, [e])))
+                    out["term"].append(gid_terms[g[s]])
+                    if width is not None:
+                        out["bucket"].append(int(d[s] // width))
+                    out["first_id"].append(int(ids[0]))
+                    out["last_id"].append(int(ids[-1]))
+                    out["df"].append(len(ids))
+                    out["doc_ids"].append(delta_encode(ids))
+                    out["tfs"].append(varint_encode(tfs.astype(np.uint64)))
+                    out["positions"].append(
+                        varint_encode(gaps[s:e].astype(np.uint64)))
+            parts, n_acc = [], 0
+            return _object_df(out)
+
+        for pdf in batches:
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            arr = pa.Array.from_pandas(pdf[text_col], type=pa.string())
+            flat, offs = _tokenize_flat_pa(arr, tok_mode)
+            total = int(offs[-1])
+            if not total:
+                continue
+            n_rows = len(offs) - 1
+            counts = np.diff(offs)
+            doc_idx = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+            pos = np.arange(total, dtype=np.int64) - np.repeat(
+                offs[:-1], counts)
+            enc = flat.dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            bdict = enc.dictionary.to_pylist()
+            gmap = np.empty(len(bdict), dtype=np.int64)
+            for j, term in enumerate(bdict):
+                gid = vocab.get(term)
+                if gid is None:
+                    gid = len(gid_terms)
+                    vocab[term] = gid
+                    gid_terms.append(term)
+                gmap[j] = gid
+            gids = gmap[codes]
+            d_tok = doc_ids[doc_idx]
+            # per-doc POSTING counts (distinct terms) for the budget
+            upairs = np.unique(doc_idx * len(bdict) + codes)
+            per_doc = np.bincount(upairs // len(bdict), minlength=n_rows)
+            cum = n_acc + np.cumsum(per_doc)
+            lo = 0  # token index of the unflushed remainder
+            while cum[-1] >= max_postings_in_memory:
+                j = int(np.searchsorted(cum, max_postings_in_memory))
+                hi = int(offs[j + 1])
+                parts.append((gids[lo:hi], d_tok[lo:hi], pos[lo:hi]))
+                yield flush()  # resets parts and n_acc
+                cum = cum - cum[j]
+                lo = hi
+            if lo < total:
+                parts.append((gids[lo:], d_tok[lo:], pos[lo:]))
+            n_acc = int(cum[-1])
+        yield flush()
+
+    return part
+
+
 def build_positional_postings(docs: DataFrame, mode: str = "simple",
                               text_col: str = "text",
                               max_postings_in_memory: int = 20_000_000,
                               ) -> DataFrame:
     """Single-pass SPIMI positional build: one mapInPandas pass emits
     compressed positional runs; groupBy(term) merges by byte concat."""
-    if mode == "simple":
-        def toks(s: str) -> list[str]:
-            return [t for t in _JAVA_WS_RE.split(s) if t] if s else []
-    elif mode in ("chem", "chem+greek"):
-        from cer_for_mti_spark.functions.analyze import chem_tokenize_str
-
-        def toks(s: str) -> list[str]:
-            return chem_tokenize_str(s) if s else []
-    else:
-        raise ValueError(f"unknown tokenize mode {mode!r}")
-
-    def part(batches):
-        acc: dict[str, list] = defaultdict(list)  # term -> [(doc, [pos..])]
-        n_post = 0
-
-        def flush():
-            out = {
-                "term": [], "first_id": [], "last_id": [], "df": [],
-                "doc_ids": [], "tfs": [], "positions": [],
-            }
-            for term, entries in acc.items():
-                entries.sort(key=lambda e: e[0])
-                ids = np.asarray([e[0] for e in entries], dtype=np.int64)
-                tfs = np.asarray([len(e[1]) for e in entries], dtype=np.uint64)
-                pos_stream = np.concatenate(
-                    [np.asarray(e[1], dtype=np.int64) for e in entries]
-                )
-                # per-doc position deltas: first position absolute
-                gaps = pos_stream.copy()
-                start = 0
-                for n_p in tfs:
-                    n_p = int(n_p)
-                    gaps[start + 1:start + n_p] = (
-                        pos_stream[start + 1:start + n_p]
-                        - pos_stream[start:start + n_p - 1]
-                    )
-                    start += n_p
-                out["term"].append(term)
-                out["first_id"].append(int(ids[0]))
-                out["last_id"].append(int(ids[-1]))
-                out["df"].append(len(ids))
-                out["doc_ids"].append(delta_encode(ids))
-                out["tfs"].append(varint_encode(tfs))
-                out["positions"].append(
-                    varint_encode(gaps.astype(np.uint64))
-                )
-            acc.clear()
-            return _object_df(out)
-
-        for pdf in batches:
-            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
-                per_term: dict[str, list[int]] = defaultdict(list)
-                for i, t in enumerate(toks(text)):
-                    per_term[t].append(i)
-                for t, ps in per_term.items():
-                    acc[t].append((int(doc_id), ps))
-                n_post += len(per_term)
-                if n_post >= max_postings_in_memory:
-                    yield flush()
-                    n_post = 0
-        yield flush()
-
+    part = _make_positional_partition(mode, text_col,
+                                      max_postings_in_memory, width=None)
     runs = docs.select("doc_id", text_col).mapInPandas(
         part, POSITIONAL_RUN_SCHEMA
     )
@@ -542,72 +601,8 @@ def build_positional_runs(docs: DataFrame, mode: str = "simple",
         salt = salt_for(n_docs)
     width = max(1, (int(n_docs) + salt - 1) // salt)
 
-    if mode == "simple":
-        def toks(s: str) -> list[str]:
-            return [t for t in _JAVA_WS_RE.split(s) if t] if s else []
-    elif mode in ("chem", "chem+greek"):
-        from cer_for_mti_spark.functions.analyze import chem_tokenize_str
-
-        def toks(s: str) -> list[str]:
-            return chem_tokenize_str(s) if s else []
-    else:
-        raise ValueError(f"unknown tokenize mode {mode!r}")
-
-    def part(batches):
-        # acc key = (term, bucket): a doc's positions go wholly to its
-        # own bucket (the doc is one input row, processed atomically
-        # between flush checks)
-        acc: dict[tuple[str, int], list] = defaultdict(list)
-        n_post = 0
-
-        def flush():
-            out = {
-                "term": [], "bucket": [], "first_id": [], "last_id": [],
-                "df": [], "doc_ids": [], "tfs": [], "positions": [],
-            }
-            for (term, bucket), entries in acc.items():
-                entries.sort(key=lambda e: e[0])
-                ids = np.asarray([e[0] for e in entries], dtype=np.int64)
-                tfs = np.asarray([len(e[1]) for e in entries],
-                                 dtype=np.uint64)
-                pos_stream = np.concatenate(
-                    [np.asarray(e[1], dtype=np.int64) for e in entries]
-                )
-                gaps = pos_stream.copy()
-                start = 0
-                for n_p in tfs:
-                    n_p = int(n_p)
-                    gaps[start + 1:start + n_p] = (
-                        pos_stream[start + 1:start + n_p]
-                        - pos_stream[start:start + n_p - 1]
-                    )
-                    start += n_p
-                out["term"].append(term)
-                out["bucket"].append(bucket)
-                out["first_id"].append(int(ids[0]))
-                out["last_id"].append(int(ids[-1]))
-                out["df"].append(len(ids))
-                out["doc_ids"].append(delta_encode(ids))
-                out["tfs"].append(varint_encode(tfs))
-                out["positions"].append(varint_encode(gaps.astype(np.uint64)))
-            acc.clear()
-            return _object_df(out)
-
-        for pdf in batches:
-            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
-                doc_id = int(doc_id)
-                bucket = doc_id // width
-                per_term: dict[str, list[int]] = defaultdict(list)
-                for i, t in enumerate(toks(text)):
-                    per_term[t].append(i)
-                for t, ps in per_term.items():
-                    acc[(t, bucket)].append((doc_id, ps))
-                n_post += len(per_term)
-                if n_post >= max_postings_in_memory:
-                    yield flush()
-                    n_post = 0
-        yield flush()
-
+    part = _make_positional_partition(mode, text_col,
+                                      max_postings_in_memory, width=width)
     return docs.select("doc_id", text_col).mapInPandas(
         part, POSITIONAL_RUN_BUCKET_SCHEMA
     )
@@ -1030,6 +1025,19 @@ def compact_positional_runs(spark, index_path: str,
 
     if tombstone_broadcast_max is None:
         tombstone_broadcast_max = TOMBSTONE_MAX_IDS
+    from cer_for_mti_spark.operators.index_build import _find_inflight_batch
+
+    inflight = _find_inflight_batch(index_path)
+    if inflight is not None:
+        # same guard as vacuum/compact_runs_index: folding a crashed
+        # append's committed units into a new base lets the later resume
+        # double-commit the batch (duplicated postings in manifest mode)
+        raise ValueError(
+            f"compact_positional_runs: append batch {inflight!r} at "
+            f"{index_path} is staged but not fully committed; resume it "
+            "first (append_positional_runs_index with batch_id=None "
+            "completes it)."
+        )
     # manifest-aware: compact only what the manifests commit
     runs = read_index_rel(spark, index_path, "positional_runs",
                           with_base_path=True)

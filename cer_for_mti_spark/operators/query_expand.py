@@ -395,12 +395,44 @@ def expand_wildcard(queries: DataFrame, term_dict: DataFrame,
 REGEX_META = set(".?*+{}[]()|\\^$")
 
 
+def _has_top_level_alternation(pat: str) -> bool:
+    """True when the pattern has a '|' at nesting depth 0 (outside any
+    group or character class): 'data|dog' — each branch then has its own
+    prefix and no single literal prefix is mandatory."""
+    depth = 0
+    in_class = False
+    i = 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth = max(0, depth - 1)
+        elif c == "|" and depth == 0:
+            return True
+        i += 1
+    return False
+
+
 def _regex_literal_prefix(pat: str) -> str:
     """Mandatory literal prefix of a regex — the characters every match
     must start with (Lucene RegexpQuery seeks the automaton's common
     prefix; this is the conservative approximation: stop at the first
     metacharacter, and don't count a literal whose NEXT char is a
-    quantifier, since `ab?` matches 'a')."""
+    quantifier, since `ab?` matches 'a'). A top-level alternation
+    ('data|dog') voids any prefix: the leading literal binds only to the
+    FIRST branch, so seeking it would silently drop every other
+    branch's matches."""
+    if _has_top_level_alternation(pat):
+        return ""
     out = []
     for i, c in enumerate(pat):
         if c in REGEX_META:

@@ -682,12 +682,21 @@ def ivf_topk_from_index(spark, path: str, queries: DataFrame, k: int = 5,
     _check_no_inflight_append(path, "ivf_topk_from_index")
     vectors = read_index_rel(spark, path, "vectors", with_base_path=True)
     if isinstance(tombstones, str) and tombstones == "auto":
-        from cer_for_mti_spark.operators.index_build import load_tombstones
+        from cer_for_mti_spark.operators.index_build import read_tombstones
 
-        tombstones = load_tombstones(spark, path)
+        # anti-join against the sidecar RELATION — the exact layer only
+        # needs membership, so there is no reason to round-trip up to
+        # TOMBSTONE_MAX_IDS ids through a driver list/createDataFrame
+        # (compact_ann_index does the same)
+        if os.path.isdir(f"{path}/tombstones"):
+            vectors = vectors.join(
+                read_tombstones(spark, path).withColumnRenamed(
+                    "doc_id", "id"),
+                "id", "left_anti")
+        tombstones = None
     if tombstones is not None and len(tombstones):
-        # drop tombstoned vectors BEFORE scoring/top-k (exact: phrase-
-        # style anti-join — the exact layer has no interim cuts either)
+        # caller-supplied id array (tests / ad-hoc masks): small by
+        # contract, broadcast anti-join
         tomb_df = spark.createDataFrame(
             [(int(i),) for i in tombstones], "id long")
         vectors = vectors.join(F.broadcast(tomb_df), "id", "left_anti")

@@ -1144,3 +1144,43 @@ def test_vacuum_manifest_orphans(spark, tmp_path):
     # idempotent, and queries see the appended corpus unchanged
     assert ib.vacuum_index(idx)["removed"] == 0
     assert key(idx) == full_key
+
+
+def test_compact_refuses_inflight_batch(spark, tmp_path):
+    """Compaction must refuse while a crashed append is staged (same
+    guard as vacuum/write_fuzzy_dict): folding the batch's committed
+    units into a new base would let the later resume double-commit its
+    deltas. After the resume, compaction proceeds."""
+    from cer_for_mti_spark import datagen
+    from cer_for_mti_spark.operators import phrase as ph
+
+    full = datagen.generate_webtext(spark, 120, seed=41).cache()
+    base = full.filter(F.col("doc_id") < 80)
+    delta = full.filter(F.col("doc_id") >= 80)
+    dt = ib.build_doc_terms(base).cache()
+    ds = ib.build_doc_stats(dt)
+    _, avgdl = ib.corpus_stats(ds)
+    idx = str(tmp_path / "cg_idx")
+    ib.write_runs_index(
+        ib.build_posting_runs(dt, ds, avgdl, salt=4, n_docs=120),
+        ds, idx, num_shards=4)
+    ib.append_runs_index(spark, idx, delta, avgdl, salt=4, n_docs=120,
+                         num_shards=4, fail_after=1)  # crash mid-batch
+    with pytest.raises(ValueError, match="staged but not fully committed"):
+        ib.compact_runs_index(spark, idx, avgdl, num_shards=4)
+    ib.append_runs_index(spark, idx, delta, avgdl, salt=4, n_docs=120,
+                         num_shards=4)  # resume
+    ib.compact_runs_index(spark, idx, avgdl, num_shards=4)
+
+    pidx = str(tmp_path / "cg_pos")
+    ph.write_positional_runs_index(
+        ph.build_positional_runs(base, salt=4, n_docs=120), pidx,
+        num_shards=4, docs=base)
+    ib.append_positional_runs_index(spark, pidx, delta, salt=4,
+                                    n_docs=120, num_shards=4,
+                                    fail_after=1)
+    with pytest.raises(ValueError, match="staged but not fully committed"):
+        ph.compact_positional_runs(spark, pidx, num_shards=4)
+    ib.append_positional_runs_index(spark, pidx, delta, salt=4,
+                                    n_docs=120, num_shards=4)
+    ph.compact_positional_runs(spark, pidx, num_shards=4)

@@ -325,6 +325,13 @@ def test_regexp_literal_prefix_extraction():
     assert f("(data|dog)") == ""
     assert f(".*x") == ""
     assert f("scan{1,2}") == "sca"  # 'n{1,2}' quantified
+    # top-level alternation: 'data' binds only to the first branch — a
+    # 'data' dictionary seek would silently drop every 'dog' match
+    assert f("data|dog") == ""
+    assert f("a|b|c") == ""
+    assert f("da(t|g)a") == "da"       # group-level '|' is not top-level
+    assert f(r"a\|b") == r"a"          # escaped '|' is a literal; stops
+    assert f("x[a|b]y") == "x"         # class-level '|' is a literal
 
 
 def test_bm25_regexp_from_index_identity_and_guard(spark, tmp_path):
