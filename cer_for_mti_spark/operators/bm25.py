@@ -41,6 +41,54 @@ def idf_col(df_col, n_docs: int):
     return F.log(F.lit(1.0) + (F.lit(float(n_docs)) - df_col + 0.5) / (df_col + 0.5))
 
 
+def dedup_query_batch(queries: DataFrame,
+                      key_col: str = "query"
+                      ) -> tuple[DataFrame, DataFrame | None]:
+    """Batch planning: identical query texts do identical work on every
+    scorer path, so score each DISTINCT text once (canonical query_id =
+    min over its duplicates) and fan the rows back out afterwards.
+    Returns (canonical queries, remap) with remap == None when the batch
+    has no duplicate texts. Nothing persists beyond the call — this is
+    per-batch planning, not result caching; results per query_id are
+    identical (tested).
+
+    The duplicate probe is a driver-side collect of the (query_id, text)
+    pairs — free for the usual createDataFrame batch (LocalTableScan
+    collect launches no job), one tiny job otherwise, and the batch is
+    small by the driver contract. A duplicate-free batch returns
+    (queries, None) unchanged, so the common single-query path pays
+    nothing."""
+    spark = queries.sparkSession
+    rows = queries.select("query_id", key_col).collect()
+    by_text: dict = {}
+    for r in rows:
+        by_text.setdefault(r[key_col], []).append(int(r["query_id"]))
+    if len(by_text) == len(rows):
+        return queries, None
+    canon = spark.createDataFrame(
+        [(min(v), q) for q, v in by_text.items()],
+        f"query_id int, {key_col} string")
+    remap = spark.createDataFrame(
+        [(min(v), qid) for v in by_text.values() for qid in v],
+        "cqid int, query_id int")
+    return canon, remap
+
+
+def fanout_query_results(result: DataFrame,
+                         remap: DataFrame | None,
+                         id_col: str = "query_id") -> DataFrame:
+    """Re-attach per-canonical-query rows to every duplicate query_id."""
+    if remap is None:
+        return result
+    cols = result.columns
+    return (
+        result.withColumnRenamed(id_col, "cqid")
+        .join(F.broadcast(remap.withColumnRenamed("query_id", id_col)),
+              "cqid")
+        .select(*cols)
+    )
+
+
 def query_terms(queries: DataFrame, mode: str = "simple") -> DataFrame:
     """(query_id, query) -> distinct (query_id, term) via the same analyzer
     as the index build."""
@@ -57,7 +105,10 @@ def bm25_naive(queries: DataFrame, doc_terms: DataFrame, doc_stats: DataFrame,
     relation — Catalyst plans: broadcast the tiny query-term set, hash-join
     against doc_terms (filter pushed to the parquet scan when doc_terms is
     a table), co-keyed join to doc_stats, partial+final agg, window top-k.
-    This is the DuckDB-oracle twin of the WAND path."""
+    This is the DuckDB-oracle twin of the WAND path. Duplicate query
+    texts in the batch are scored once and fanned back out
+    (dedup_query_batch) — per-query rows are identical either way."""
+    queries, remap = dedup_query_batch(queries)
     qt = query_terms(queries, mode)
     q_only = qt.select("term").distinct()
     # prune doc_terms to the query vocabulary FIRST (broadcast hash join →
@@ -80,11 +131,12 @@ def bm25_naive(queries: DataFrame, doc_terms: DataFrame, doc_stats: DataFrame,
         .agg(F.round(F.sum("part"), 6).alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
+    ranked = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+    return fanout_query_results(ranked, remap)
 
 
 from cer_for_mti_spark.operators.index_build import (  # noqa: E402
@@ -238,7 +290,17 @@ def _wand_one_query(rows: list, n_docs: int, avgdl: float, k: int,
     return ranked[:k]
 
 
-TAAT_MASS_THRESHOLD = 2_000_000
+# Auto-scorer crossover. Measured on the 500k-doc bench index (r06):
+# vectorized TAAT scores a 2.46M-posting stop-word query in 0.31s where
+# the per-doc Python WAND loop takes 10.0s — and BOTH paths pay the same
+# full _decode_cursor cost first, so skipping can only save the numpy
+# segment-sum, never the decode. TAAT therefore wins at any mass that
+# fits a task's decode budget; the WAND loop remains for callers that
+# force scorer='wand' and as the documented skip-path shape for engines
+# with block-level decode skipping. 50M postings ≈ 0.4 GB decoded ≈ the
+# per-task posting budget (phrase DEFAULT_MAX_POSTING_BYTES) — beyond
+# that the sharded scorer is the right tool anyway.
+TAAT_MASS_THRESHOLD = 50_000_000
 
 
 def _tomb_broadcast(df_like: DataFrame, tombstones):
@@ -263,7 +325,9 @@ def bm25_wand(queries: DataFrame, postings: DataFrame, n_docs: int,
     posting mass is below TAAT_MASS_THRESHOLD (numpy segment-sum beats a
     per-doc Python loop there) and block-max WAND above it (skipping wins
     once a stop-word-sized posting dominates); 'wand'/'taat' force a path
-    (tests assert both are rank-identical)."""
+    (tests assert both are rank-identical). Duplicate query texts in the
+    batch are scored once (dedup_query_batch)."""
+    queries, remap = dedup_query_batch(queries)
     qt = query_terms(queries, mode)
     fetched = postings.join(F.broadcast(qt), "term")
     tomb_bc = _tomb_broadcast(queries, tombstones)
@@ -288,7 +352,9 @@ def bm25_wand(queries: DataFrame, postings: DataFrame, n_docs: int,
             }
         )
 
-    return fetched.groupBy("query_id").applyInPandas(score_group, TOPK_SCHEMA)
+    return fanout_query_results(
+        fetched.groupBy("query_id").applyInPandas(score_group, TOPK_SCHEMA),
+        remap)
 
 
 def bm25_wand_sharded(queries: DataFrame, runs: DataFrame, n_docs: int,
@@ -313,7 +379,9 @@ def bm25_wand_sharded(queries: DataFrame, runs: DataFrame, n_docs: int,
     hotness, and a hot query parallelizes across S tasks.
 
     idf needs the GLOBAL df: run-local df is summed per term first
-    (broadcast back onto the runs)."""
+    (broadcast back onto the runs). Duplicate query texts are scored
+    once (dedup_query_batch)."""
+    queries, remap = dedup_query_batch(queries)
     qt = query_terms(queries, mode)
     fetched = runs.join(F.broadcast(qt), "term")
     gdf = (
@@ -351,11 +419,12 @@ def bm25_wand_sharded(queries: DataFrame, runs: DataFrame, n_docs: int,
         score_bucket, "query_id int, doc_id long, score double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
+    ranked = (
         cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+    return fanout_query_results(ranked, remap)
 
 
 def bm25_conjunctive(queries: DataFrame, postings: DataFrame, n_docs: int,
@@ -374,6 +443,7 @@ def bm25_conjunctive(queries: DataFrame, postings: DataFrame, n_docs: int,
     10^12 docs run it per (query, bucket) over runs exactly like
     bm25_wand_sharded — conjunctive-ness is per-doc, so bucket-local
     intersection is exact."""
+    queries, remap = dedup_query_batch(queries)
     qt = query_terms(queries, mode)
     need = {
         int(r["query_id"]): int(r["n"])
@@ -421,7 +491,9 @@ def bm25_conjunctive(queries: DataFrame, postings: DataFrame, n_docs: int,
             "rank": np.arange(1, len(final) + 1, dtype=np.int64),
         })
 
-    return fetched.groupBy("query_id").applyInPandas(score_group, TOPK_SCHEMA)
+    return fanout_query_results(
+        fetched.groupBy("query_id").applyInPandas(score_group, TOPK_SCHEMA),
+        remap)
 
 
 def bm25_conjunctive_sharded(queries: DataFrame, runs: DataFrame,
@@ -443,6 +515,7 @@ def bm25_conjunctive_sharded(queries: DataFrame, runs: DataFrame,
     (no doc in that range contains all terms); a query whose term is
     missing EVERYWHERE yields nothing from every bucket — the OOV
     contract holds without any global coordination."""
+    queries, remap = dedup_query_batch(queries)
     qt = query_terms(queries, mode)
     need = {
         int(r["query_id"]): int(r["n"])
@@ -513,11 +586,12 @@ def bm25_conjunctive_sharded(queries: DataFrame, runs: DataFrame,
         score_bucket, "query_id int, doc_id long, score double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
+    ranked = (
         cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+    return fanout_query_results(ranked, remap)
 
 
 def _exclusion_want(queries: DataFrame, mode: str,

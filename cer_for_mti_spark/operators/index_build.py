@@ -120,12 +120,16 @@ def _object_df(out: dict) -> pd.DataFrame:
     return pd.DataFrame({k: pd.Series(v, dtype=object) for k, v in out.items()})
 
 
-def _batch_doc_term_counts(texts: pd.Series, mode: str):
-    """Vectorized tokenize + per-(doc, term) counting for one Arrow batch.
+def _batch_doc_term_counts(texts, mode: str):
+    """Vectorized tokenize + per-(doc, term) counting for one Arrow batch
+    (`texts`: a pandas Series or a pyarrow string (Chunked)Array).
 
-    Returns (doc_pos, terms, tfs, doclens):
+    Returns (doc_pos, codes, vocab, tfs, doclens):
       doc_pos : int64 batch-row index of each (doc, term) pair, ascending
-      terms   : object ndarray of the pair's term string
+      codes   : int64 index into `vocab` of the pair's term
+      vocab   : list[str] batch-local dictionary (terms stay dictionary-
+                encoded — materializing a per-pair string column costs a
+                600k-object np.unique per batch downstream)
       tfs     : int64 term frequency
       doclens : int64 token count per BATCH ROW (len == len(texts))
     Pairs are ordered doc-major, then by FIRST OCCURRENCE within the doc
@@ -134,23 +138,26 @@ def _batch_doc_term_counts(texts: pd.Series, mode: str):
 
     from cer_for_mti_spark.functions.analyze import _tokenize_flat_pa
 
-    arr = pa.Array.from_pandas(texts, type=pa.string())
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        arr = texts
+    else:
+        arr = pa.Array.from_pandas(texts, type=pa.string())
     flat, offs = _tokenize_flat_pa(arr, mode)
     n_rows = len(offs) - 1
     doclens = np.diff(offs)
     if offs[-1] == 0:
         z = np.array([], dtype=np.int64)
-        return z, np.array([], dtype=object), z, doclens
+        return z, z, [], z, doclens
     enc = flat.dictionary_encode()
     codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+    vocab = enc.dictionary.to_pylist()
     n_dict = len(vocab)
     doc_idx = np.repeat(np.arange(n_rows, dtype=np.int64), doclens)
     key = doc_idx * n_dict + codes
     uk, first_idx, tf = np.unique(key, return_index=True, return_counts=True)
     order = np.argsort(first_idx, kind="stable")  # doc-major, 1st-occurrence
     uk, tf = uk[order], tf[order]
-    return uk // n_dict, vocab[uk % n_dict], tf.astype(np.int64), doclens
+    return uk // n_dict, uk % n_dict, vocab, tf.astype(np.int64), doclens
 
 
 def _make_term_counts_udf(mode: str):
@@ -165,10 +172,13 @@ def _make_term_counts_udf(mode: str):
 
     @F.pandas_udf(_COUNTS_SCHEMA)
     def term_counts(text: pd.Series) -> pd.DataFrame:
-        doc_pos, terms, tfs, doclens = _batch_doc_term_counts(text, mode)
+        doc_pos, codes, vocab, tfs, doclens = _batch_doc_term_counts(
+            text, mode)
         n_rows = len(doclens)
         per_doc = np.bincount(doc_pos, minlength=n_rows)
         cuts = np.cumsum(per_doc)[:-1]
+        terms = np.asarray(vocab, dtype=object)[codes] if len(codes) \
+            else np.array([], dtype=object)
         return _object_df({
             "terms": np.split(terms, cuts),
             "tfs": np.split(tfs.astype(np.int32), cuts),
@@ -297,34 +307,120 @@ def _encode_arrays(ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     )
 
 
-def _make_encode_run_udf(avgdl: float):
-    """Scalar pandas UDF compressing ONE RUN per input row (a (term,
-    range-bucket) group's sorted arrays). Python is crossed once per Arrow
-    batch; numpy does the per-run work. Because runs are doc-id ranges,
-    hot terms (stop words) are encoded by S tasks in parallel instead of
-    one — the encode stage was the build's serial bottleneck before."""
+def _varint_encode_segmented(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a flat array, returning (buffer, per-value byte
+    OFFSETS) so callers can slice out contiguous segments — byte-identical
+    to concatenating varint_encode over the segments (each value's bytes
+    are contiguous and row-major)."""
+    from cer_for_mti_spark.functions.codecs import _SHIFTS, _THRESHOLDS
 
-    @F.pandas_udf(RUN_SCHEMA)
-    def encode_run(ids_s: pd.Series, tfs_s: pd.Series,
-                   dls_s: pd.Series) -> pd.DataFrame:
-        out = {k.name: [] for k in RUN_SCHEMA.fields}
-        for ids_l, tfs_l, dls_l in zip(ids_s, tfs_s, dls_s):
-            ids = np.asarray(ids_l, dtype=np.int64)
-            tfs = np.asarray(tfs_l, dtype=np.uint64)
-            dls = np.asarray(dls_l, dtype=np.uint64)
-            d, t, dl, bl, bm, mi = _encode_arrays(ids, tfs, dls, avgdl)
-            out["first_id"].append(int(ids[0]))
-            out["last_id"].append(int(ids[-1]))
-            out["df"].append(len(ids))
-            out["doc_ids"].append(d)
-            out["tfs"].append(t)
-            out["doclens"].append(dl)
-            out["block_last"].append(bl)
-            out["block_max"].append(bm)
-            out["max_impact"].append(mi)
-        return _object_df(out)
+    v = values.astype(np.uint64, copy=False)
+    if v.size == 0:
+        return b"", np.zeros(1, dtype=np.int64)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    for t in _THRESHOLDS:
+        m = v >= t
+        if not m.any():
+            break
+        nbytes += m.astype(np.int64)
+    maxb = int(nbytes.max())
+    chunks = ((v[:, None] >> _SHIFTS[:maxb]) & np.uint64(0x7F)).astype(np.uint8)
+    cols = np.arange(maxb)
+    chunks[cols < (nbytes - 1)[:, None]] |= 0x80
+    buf = chunks.tobytes() if maxb == 1 else chunks[cols < nbytes[:, None]].tobytes()
+    offs = np.empty(len(v) + 1, dtype=np.int64)
+    offs[0] = 0
+    np.cumsum(nbytes, out=offs[1:])
+    return buf, offs
 
-    return encode_run
+
+def _encode_runs_flush_raw(d: np.ndarray, t: np.ndarray,
+                           dl: np.ndarray, starts: np.ndarray,
+                           avgdl: float) -> dict:
+    """Vectorized twin of calling _encode_arrays per term slice: one set
+    of whole-flush numpy passes, instead of ~10 small-array kernel
+    launches per term (measured 134us/term, i.e. ~0.7s per 5k-term flush
+    — this path does the same work in ~0.1s). Inputs are the flush's
+    lexsorted (doc_id, tf, doclen) arrays and the group-slice starts
+    (len = n_groups + 1). Byte-identical content.
+
+    Returns raw columnar components (buffers + offsets), which
+    _runs_record_batch assembles into Arrow arrays ZERO-COPY."""
+    n = len(d)
+    lens = np.diff(starts)
+    imp = _impact(t, dl, avgdl)
+    max_imp = np.maximum.reduceat(imp, starts[:-1])
+    # block structure: within-group index // BLOCK; a block's end is the
+    # element before the next block start (the next group's first posting
+    # starts a new block, so this holds across group boundaries too)
+    within = np.arange(n, dtype=np.int64) - np.repeat(starts[:-1], lens)
+    bstarts = np.flatnonzero(within % BLOCK == 0)
+    bends = np.concatenate((bstarts[1:] - 1, [n - 1]))
+    block_last_flat = d[bends]
+    block_max_flat = np.maximum.reduceat(imp, bstarts)
+    nblk = (lens + BLOCK - 1) // BLOCK
+    blk_offs = np.concatenate(([0], np.cumsum(nblk)))
+    # delta-gap doc ids (first of each group absolute), then one varint
+    # pass per stream with per-group byte offsets
+    prev = np.empty_like(d)
+    prev[0] = 0
+    prev[1:] = d[:-1]
+    gaps = np.where(within == 0, d, d - prev)
+    id_buf, id_offs = _varint_encode_segmented(gaps.astype(np.uint64))
+    tf_buf, tf_offs = _varint_encode_segmented(t.astype(np.uint64))
+    dl_buf, dl_offs = _varint_encode_segmented(dl.astype(np.uint64))
+    return {
+        "first_id": d[starts[:-1]],
+        "last_id": d[starts[1:] - 1],
+        "df": lens,
+        "doc_ids": (id_buf, id_offs[starts]),
+        "tfs": (tf_buf, tf_offs[starts]),
+        "doclens": (dl_buf, dl_offs[starts]),
+        "block_last": (block_last_flat, blk_offs),
+        "block_max": (block_max_flat, blk_offs),
+        "max_impact": max_imp,
+    }
+
+
+def _runs_record_batch(term_arr, raw: dict, bucket: np.ndarray | None = None):
+    """Assemble one Arrow RecordBatch of encoded runs from
+    _encode_runs_flush_raw output (zero-copy for the binary and list
+    columns). Column order matches the mapInArrow schemas."""
+    import pyarrow as pa
+
+    def _bin(buf_offs):
+        buf, offs = buf_offs
+        return pa.Array.from_buffers(
+            pa.binary(), len(offs) - 1,
+            [None, pa.py_buffer(offs.astype(np.int32)),
+             pa.py_buffer(buf)],
+        )
+
+    def _list(vals_offs, typ):
+        vals, offs = vals_offs
+        return pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()),
+            pa.array(vals, type=typ))
+
+    cols = [term_arr]
+    names = ["term"]
+    if bucket is not None:
+        cols.append(pa.array(bucket, type=pa.int64()))
+        names.append("bucket")
+    cols += [
+        pa.array(raw["first_id"], type=pa.int64()),
+        pa.array(raw["last_id"], type=pa.int64()),
+        pa.array(raw["df"], type=pa.int64()),
+        _bin(raw["doc_ids"]),
+        _bin(raw["tfs"]),
+        _bin(raw["doclens"]),
+        _list(raw["block_last"], pa.int64()),
+        _list(raw["block_max"], pa.float64()),
+        pa.array(raw["max_impact"], type=pa.float64()),
+    ]
+    names += ["first_id", "last_id", "df", "doc_ids", "tfs", "doclens",
+              "block_last", "block_max", "max_impact"]
+    return pa.RecordBatch.from_arrays(cols, names=names)
 
 
 def isin_sorted(ids: np.ndarray, tomb: np.ndarray) -> np.ndarray:
@@ -489,22 +585,60 @@ def build_posting_runs(doc_terms: DataFrame, doc_stats: DataFrame,
     # and truncate-toward-zero for negative ids, landing docs in the
     # wrong bucket and breaking the contiguous-run merge invariant.
     salted = with_dl.withColumn("bucket", _range_bucket("doc_id", width))
-    encode_run = _make_encode_run_udf(avgdl)
-    return (
-        salted.groupBy("term", "bucket")
-        .agg(F.array_sort(F.collect_list(
-            F.struct("doc_id", "tf", "doclen"))).alias("plist"))
-        .select(
-            "term",
-            "bucket",
-            encode_run(
-                F.transform("plist", lambda s: s["doc_id"]),
-                F.transform("plist", lambda s: s["tf"].cast("long")),
-                F.transform("plist", lambda s: s["doclen"]),
-            ).alias("run"),
-        )
-        .select("term", "bucket", "run.*")
+
+    run_schema = (
+        "term string, bucket long, first_id long, last_id long, df long, "
+        "doc_ids binary, tfs binary, doclens binary, "
+        "block_last array<long>, block_max array<double>, max_impact double"
     )
+
+    def encode_part(batches):
+        # The exchange + collect_list stay in the JVM (arrays cross the
+        # Python boundary COLUMNAR — a ListArray is flat values + offsets,
+        # so a group's posting never becomes per-row Python objects); the
+        # JVM array_sort of 12.5M structs and the per-group encode UDF are
+        # replaced by one numpy lexsort over the flat values and the
+        # vectorized flush encoder.
+        import pyarrow as pa
+
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            terms = rb.column(0)
+            bkt = rb.column(1).to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            ids_l = rb.column(2)
+            tfs_l = rb.column(3)
+            dls_l = rb.column(4)
+            offs = ids_l.offsets.to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            starts = offs - offs[0]
+            d = ids_l.flatten().to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            t = tfs_l.flatten().to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            dl = dls_l.flatten().to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            lens = np.diff(starts)
+            row_of = np.repeat(np.arange(rb.num_rows, dtype=np.int64),
+                               lens)
+            order = np.lexsort((d, row_of))
+            raw = _encode_runs_flush_raw(d[order], t[order], dl[order],
+                                         starts, avgdl)
+            yield _runs_record_batch(terms, raw, bucket=bkt)
+
+    grouped = (
+        salted.groupBy("term", "bucket")
+        .agg(F.collect_list(F.struct("doc_id", "tf", "doclen"))
+             .alias("plist"))
+        .select(
+            "term", "bucket",
+            F.col("plist.doc_id").alias("ids"),
+            F.col("plist.tf").alias("tfs"),
+            F.col("plist.doclen").alias("dls"),
+        )
+    )
+    return grouped.mapInArrow(encode_part, run_schema)
 
 
 def build_postings(doc_terms: DataFrame, doc_stats: DataFrame, avgdl: float,
@@ -532,6 +666,15 @@ def build_postings(doc_terms: DataFrame, doc_stats: DataFrame, avgdl: float,
         "term", _make_merge_runs_udf(avgdl)("runs").alias("p")
     ).select("term", "p.df", "p.doc_ids", "p.tfs", "p.doclens",
              "p.block_last", "p.block_max", "p.max_impact")
+
+
+def build_spimi_runs(docs: DataFrame, avgdl: float,
+                     mode: str = "simple", text_col: str = "text",
+                     max_postings_in_memory: int = 20_000_000) -> DataFrame:
+    """The SPIMI map pass alone (the runs relation BEFORE the per-term
+    merge) — exposed so the merge exchange can be measured/consumed
+    separately. See build_postings_spimi."""
+    return _spimi_runs(docs, avgdl, mode, text_col, max_postings_in_memory)
 
 
 def build_postings_spimi(docs: DataFrame, avgdl: float,
@@ -569,6 +712,21 @@ def build_postings_spimi(docs: DataFrame, avgdl: float,
     accumulation holds flat numpy arrays keyed by a partition-local term
     id, and the flush groups them with one lexsort — no per-token or
     per-posting Python object ever exists."""
+    runs = _spimi_runs(docs, avgdl, mode, text_col, max_postings_in_memory)
+    merged = runs.groupBy("term").agg(
+        F.collect_list(
+            F.struct("first_id", "last_id", "df", "doc_ids", "tfs",
+                     "doclens", "block_last", "block_max", "max_impact")
+        ).alias("runs")
+    )
+    return merged.select(
+        "term", _make_merge_runs_udf(avgdl)("runs").alias("p")
+    ).select("term", "p.df", "p.doc_ids", "p.tfs", "p.doclens",
+             "p.block_last", "p.block_max", "p.max_impact")
+
+
+def _spimi_runs(docs: DataFrame, avgdl: float, mode: str, text_col: str,
+                max_postings_in_memory: int) -> DataFrame:
     if mode not in ("simple", "chem", "chem+greek"):
         raise ValueError(f"unknown tokenize mode {mode!r}")
 
@@ -579,6 +737,8 @@ def build_postings_spimi(docs: DataFrame, avgdl: float,
     )
 
     def spimi_partition(batches):
+        import pyarrow as pa
+
         vocab: dict = {}          # term -> partition-local gid
         gid_terms: list = []      # gid -> term
         parts: list = []          # accumulated (gid, doc_id, tf, dl) arrays
@@ -586,56 +746,42 @@ def build_postings_spimi(docs: DataFrame, avgdl: float,
 
         def flush():
             nonlocal parts, n_acc
-            out = {
-                "term": [], "first_id": [], "last_id": [], "df": [],
-                "doc_ids": [], "tfs": [], "doclens": [],
-                "block_last": [], "block_max": [], "max_impact": [],
-            }
-            if n_acc:
-                g = np.concatenate([p[0] for p in parts])
-                d = np.concatenate([p[1] for p in parts])
-                t = np.concatenate([p[2] for p in parts])
-                dl = np.concatenate([p[3] for p in parts])
-                order = np.lexsort((d, g))
-                g, d, t, dl = g[order], d[order], t[order], dl[order]
-                bounds = np.flatnonzero(g[1:] != g[:-1]) + 1
-                starts = np.concatenate(([0], bounds, [len(g)]))
-                for s, e in zip(starts[:-1], starts[1:]):
-                    ids = d[s:e]
-                    db, tb, dlb, bl, bm, mi = _encode_arrays(
-                        ids, t[s:e].astype(np.uint64),
-                        dl[s:e].astype(np.uint64), avgdl)
-                    out["term"].append(gid_terms[g[s]])
-                    out["first_id"].append(int(ids[0]))
-                    out["last_id"].append(int(ids[-1]))
-                    out["df"].append(len(ids))
-                    out["doc_ids"].append(db)
-                    out["tfs"].append(tb)
-                    out["doclens"].append(dlb)
-                    out["block_last"].append(bl)
-                    out["block_max"].append(bm)
-                    out["max_impact"].append(mi)
+            if not n_acc:
+                parts = []
+                return None
+            g = np.concatenate([p[0] for p in parts])
+            d = np.concatenate([p[1] for p in parts])
+            t = np.concatenate([p[2] for p in parts])
+            dl = np.concatenate([p[3] for p in parts])
+            order = np.lexsort((d, g))
+            g, d, t, dl = g[order], d[order], t[order], dl[order]
+            bounds = np.flatnonzero(g[1:] != g[:-1]) + 1
+            starts = np.concatenate(([0], bounds, [len(g)]))
+            raw = _encode_runs_flush_raw(d, t, dl, starts, avgdl)
+            terms = pa.array(
+                np.asarray(gid_terms, dtype=object)[g[starts[:-1]]],
+                type=pa.string())
             parts, n_acc = [], 0
-            return _object_df(out)
+            return _runs_record_batch(terms, raw)
 
-        for pdf in batches:
-            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-            doc_pos, terms, tfs, doclens = _batch_doc_term_counts(
-                pdf[text_col], mode)
+        for rb in batches:
+            doc_ids = rb.column(0).to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            doc_pos, codes, b_vocab, tfs, doclens = _batch_doc_term_counts(
+                rb.column(1), mode)
             if not len(doc_pos):
                 continue
-            # partition-local gid per pair (dict lookups only on the
-            # batch's ~|vocab| distinct terms, not per pair)
-            b_terms, b_inv = np.unique(terms, return_inverse=True)
-            gmap = np.empty(len(b_terms), dtype=np.int64)
-            for j, term in enumerate(b_terms):
+            # partition-local gid per pair: dict lookups only on the
+            # batch's ~|vocab| DICTIONARY entries, never per pair
+            gmap = np.empty(len(b_vocab), dtype=np.int64)
+            for j, term in enumerate(b_vocab):
                 gid = vocab.get(term)
                 if gid is None:
                     gid = len(gid_terms)
                     vocab[term] = gid
                     gid_terms.append(term)
                 gmap[j] = gid
-            gids = gmap[b_inv]
+            gids = gmap[codes]
             d_arr = doc_ids[doc_pos]
             dl_arr = doclens[doc_pos]
             # doc-aligned budget flushes, same boundaries as the scalar
@@ -652,27 +798,21 @@ def build_postings_spimi(docs: DataFrame, avgdl: float,
                 parts.append((gids[lo:hi], d_arr[lo:hi],
                               tfs[lo:hi], dl_arr[lo:hi]))
                 n_acc = int(cum[j])
-                yield flush()  # resets parts and n_acc
+                out = flush()  # resets parts and n_acc
+                if out is not None:
+                    yield out
                 cum = cum - cum[j]
                 lo = hi
             if lo < len(gids):
                 parts.append((gids[lo:], d_arr[lo:], tfs[lo:], dl_arr[lo:]))
             n_acc = int(cum[-1])
-        yield flush()
+        out = flush()
+        if out is not None:
+            yield out
 
-    runs = docs.select("doc_id", text_col).mapInPandas(
+    return docs.select("doc_id", text_col).mapInArrow(
         spimi_partition, run_schema_str
     )
-    merged = runs.groupBy("term").agg(
-        F.collect_list(
-            F.struct("first_id", "last_id", "df", "doc_ids", "tfs",
-                     "doclens", "block_last", "block_max", "max_impact")
-        ).alias("runs")
-    )
-    return merged.select(
-        "term", _make_merge_runs_udf(avgdl)("runs").alias("p")
-    ).select("term", "p.df", "p.doc_ids", "p.tfs", "p.doclens",
-             "p.block_last", "p.block_max", "p.max_impact")
 
 
 def postings_to_runs(postings: DataFrame) -> DataFrame:

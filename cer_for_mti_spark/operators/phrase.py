@@ -528,6 +528,11 @@ def phrase_search(phrases: DataFrame, positional: DataFrame,
 
     `_want` (internal): a precomputed (pairs, n_terms) want-set — how
     phrase_prefix_search injects MULTIPLE alternative terms per slot."""
+    remap = None
+    if _want is None:
+        from cer_for_mti_spark.operators.bm25 import dedup_query_batch
+
+        phrases, remap = dedup_query_batch(phrases)
     pairs, n_terms = _want if _want is not None else _phrase_want(
         phrases, mode)
     if not pairs:
@@ -568,7 +573,12 @@ def phrase_search(phrases: DataFrame, positional: DataFrame,
             return _match_slop(qid, n_terms[qid], decoded, slop)
         return _match_adjacency(qid, n_terms[qid], decoded)
 
-    return fetched.groupBy("query_id").applyInPandas(match, PHRASE_HIT_SCHEMA)
+    hits = fetched.groupBy("query_id").applyInPandas(match, PHRASE_HIT_SCHEMA)
+    if remap is None:
+        return hits
+    from cer_for_mti_spark.operators.bm25 import fanout_query_results
+
+    return fanout_query_results(hits, remap, id_col="phrase_id")
 
 
 def build_positional_runs(docs: DataFrame, mode: str = "simple",
@@ -649,6 +659,11 @@ def phrase_search_sharded(phrases: DataFrame, pos_runs: DataFrame,
 
     `_want` (internal): a precomputed (pairs, n_terms) want-set — how
     phrase_prefix_search_sharded injects alternative terms per slot."""
+    remap = None
+    if _want is None:
+        from cer_for_mti_spark.operators.bm25 import dedup_query_batch
+
+        phrases, remap = dedup_query_batch(phrases)
     pairs, n_terms = _want if _want is not None else _phrase_want(
         phrases, mode)
     if not pairs:
@@ -678,9 +693,14 @@ def phrase_search_sharded(phrases: DataFrame, pos_runs: DataFrame,
             return _match_slop(qid, n_terms[qid], decoded, slop)
         return _match_adjacency(qid, n_terms[qid], decoded)
 
-    return fetched.groupBy("query_id", "bucket").applyInPandas(
+    hits = fetched.groupBy("query_id", "bucket").applyInPandas(
         match, PHRASE_HIT_SCHEMA
     )
+    if remap is None:
+        return hits
+    from cer_for_mti_spark.operators.bm25 import fanout_query_results
+
+    return fanout_query_results(hits, remap, id_col="phrase_id")
 
 
 def write_positional_runs_index(pos_runs: DataFrame, path: str,
@@ -907,15 +927,22 @@ def phrase_prefix_search(phrases: DataFrame, positional: DataFrame,
     (MultiPhraseQuery). Non-prefix phrases in the batch behave exactly
     like phrase_search. terms_df defaults to the positional relation
     itself (its term column is the dictionary)."""
+    from cer_for_mti_spark.operators.bm25 import (
+        dedup_query_batch,
+        fanout_query_results,
+    )
+
+    phrases, remap = dedup_query_batch(phrases)
     want = expand_phrase_want(
         phrases, positional if terms_df is None else terms_df,
         max_expansions)
-    return _prefix_hits(
+    hits = _prefix_hits(
         phrases, want,
         lambda pairs, n_terms: phrase_search(
             phrases, positional, "simple",
             max_posting_bytes=max_posting_bytes, slop=slop,
             _want=(pairs, n_terms)))
+    return fanout_query_results(hits, remap, id_col="phrase_id")
 
 
 def phrase_prefix_search_sharded(phrases: DataFrame, pos_runs: DataFrame,
@@ -926,13 +953,20 @@ def phrase_prefix_search_sharded(phrases: DataFrame, pos_runs: DataFrame,
     """Doc-range-sharded twin of phrase_prefix_search — identical hits,
     bounded per-task bytes (a hot stem like 'th*' expands into stop-word
     completions whose postings must never co-locate in one task)."""
+    from cer_for_mti_spark.operators.bm25 import (
+        dedup_query_batch,
+        fanout_query_results,
+    )
+
+    phrases, remap = dedup_query_batch(phrases)
     want = expand_phrase_want(
         phrases, pos_runs if terms_df is None else terms_df, max_expansions)
-    return _prefix_hits(
+    hits = _prefix_hits(
         phrases, want,
         lambda pairs, n_terms: phrase_search_sharded(
             phrases, pos_runs, "simple", slop=slop,
             _want=(pairs, n_terms)))
+    return fanout_query_results(hits, remap, id_col="phrase_id")
 
 
 def phrase_prefix_search_sharded_from_index(

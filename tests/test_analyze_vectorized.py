@@ -78,6 +78,43 @@ def test_simple_parity_fuzz():
     assert got == want
 
 
+def test_chem_parity_ascii_ws_fast_path():
+    """Batches with NO exotic whitespace take the ascii_split fast path;
+    must still match the scalar spec exactly (incl. greek letters and
+    NFC cases, which are non-whitespace non-ASCII)."""
+    rng = random.Random(41)
+    pool = [c for c in _POOL if not any(_TOKEN_SPLIT_RE.match(ch) and
+                                        ch not in " \t\n" for ch in c)]
+    cases = ["".join(rng.choice(pool) for _ in range(rng.randint(0, 30)))
+             for _ in range(3000)]
+    from cer_for_mti_spark.functions.analyze import _needs_unicode_ws_split
+    arr = pa.array(cases, type=pa.string())
+    assert not _needs_unicode_ws_split(arr) or any(
+        "é" in c or "Å" in c for c in cases)  # C2/E1-E3 leads may appear
+    got = _arrow_lists(cases, "chem")
+    want = [chem_tokenize_str(c) for c in cases]
+    assert got == want
+
+
+def test_count_only_parity_fuzz():
+    from cer_for_mti_spark.functions.analyze import _tokenize_flat_pa
+
+    for mode in ("chem", "chem+greek"):
+        cases = _cases(2000, seed=53)
+        arr = pa.array(cases, type=pa.string())
+        _, offs = _tokenize_flat_pa(arr, mode, count_only=True)
+        import numpy as np
+
+        got = list(np.diff(offs))
+        want = []
+        for c in cases:
+            t = chem_tokenize_str(c) if c is not None else []
+            if mode == "chem+greek":
+                t = t + greek_variants(t)
+            want.append(len(t))
+        assert got == want, mode
+
+
 def test_greek_class_covers_map():
     for ch in GREEK_MAP:
         assert len(ch) == 1

@@ -1184,3 +1184,75 @@ def test_compact_refuses_inflight_batch(spark, tmp_path):
     ib.append_positional_runs_index(spark, pidx, delta, salt=4,
                                     n_docs=120, num_shards=4)
     ph.compact_positional_runs(spark, pidx, num_shards=4)
+
+
+def test_duplicate_query_batch_dedup_identity(spark, webtext, index_300):
+    """A batch with repeated query TEXTS must return, for every
+    query_id, exactly the rows the same text gets in a duplicate-free
+    batch — the dedup_query_batch planning step is invisible in results
+    on every scorer path (wand, sharded, conjunctive, naive, phrase)."""
+    from cer_for_mti_spark.operators import phrase as ph
+
+    dt, ds, postings, n, avgdl = index_300
+    runs = ib.build_posting_runs(dt, ds, avgdl, salt=4, n_docs=n)
+    texts = ["the data", "insulin", "the data", "zzz", "the data",
+             "insulin"]
+    dup = spark.createDataFrame(list(enumerate(texts)),
+                                "query_id int, query string")
+    uniq = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts) if t not in texts[:i]],
+        "query_id int, query string")
+
+    def rows_by_text(df, qdf):
+        txt = {r["query_id"]: r["query"] for r in qdf.collect()}
+        out: dict = {}
+        for r in df.collect():
+            out.setdefault(txt[r["query_id"]], set()).add(
+                (r["doc_id"], round(r["score"], 6), r["rank"]))
+        return out
+
+    for fn in (
+        lambda q: bm25.bm25_wand(q, postings, n, avgdl, k=5, mode="chem"),
+        lambda q: bm25.bm25_wand_sharded(q, runs, n, avgdl, k=5,
+                                         mode="chem"),
+        lambda q: bm25.bm25_conjunctive(q, postings, n, avgdl, k=5,
+                                        mode="chem"),
+        lambda q: bm25.bm25_naive(q, dt, ds, n, avgdl, k=5, mode="chem"),
+    ):
+        a = rows_by_text(fn(dup), dup)
+        b = rows_by_text(fn(uniq), uniq)
+        assert a == b and a
+        # every duplicate id carries the full row set
+        got = fn(dup).groupBy("query_id").count().collect()
+        per_id = {r["query_id"]: r["count"] for r in got}
+        base = {r["query_id"]: r["count"]
+                for r in fn(uniq).groupBy("query_id").count().collect()}
+        for qid, t in enumerate(texts):
+            if t in {r["query"] for r in uniq.collect()}:
+                want = base.get(
+                    min(i for i, x in enumerate(texts) if x == t), 0)
+                assert per_id.get(qid, 0) == want
+
+    pos = ph.build_positional_postings(webtext)
+    pruns = ph.build_positional_runs(webtext, salt=4, n_docs=300)
+    ptexts = ["the the", "of the", "the the", "zzz qqq"]
+    pdup = spark.createDataFrame(list(enumerate(ptexts)),
+                                 "query_id int, query string")
+    puniq = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ptexts) if t not in ptexts[:i]],
+        "query_id int, query string")
+
+    def hits_by_text(df, qdf):
+        txt = {r["query_id"]: r["query"] for r in qdf.collect()}
+        out: dict = {}
+        for r in df.collect():
+            out.setdefault(txt[r["phrase_id"]], set()).add(
+                (r["doc_id"], r["n_matches"]))
+        return out
+
+    for fn in (
+        lambda q: ph.phrase_search(q, pos),
+        lambda q: ph.phrase_search_sharded(q, pruns),
+    ):
+        assert hits_by_text(fn(pdup), pdup) == hits_by_text(fn(puniq),
+                                                            puniq)
