@@ -126,9 +126,159 @@ def _needs_unicode_ws_split(arr) -> bool:
         return True
     # any lead byte that can start a non-ASCII whitespace sequence:
     # C2 85 / C2 A0, E1 9A 80 (U+1680), E2 80 80..8A / A8 / A9 / AF,
-    # E2 81 9F (U+205F), E3 80 80 (U+3000)
-    return bool(np.isin(b, np.array([0xC2, 0xE1, 0xE2, 0xE3],
-                                    dtype=np.uint8)).any())
+    # E2 81 9F (U+205F), E3 80 80 (U+3000). Chained equality instead of
+    # np.isin: isin sorts/uniques its operands per call, measuring ~16x
+    # slower on a 20 MB buffer.
+    return bool(((b == 0xC2) | (b == 0xE1) | (b == 0xE2)
+                 | (b == 0xE3)).any())
+
+
+def _split_ws_pa(arr, ascii_only: bool = False):
+    """Whitespace-split a pyarrow string array exactly like Python \\s+
+    (ASCII kernel when provably equivalent; ascii_only=True forces the
+    Java-\\s ASCII semantics of mode='simple'). Returns (flat_raw_tokens,
+    offsets0: per-row int64 token offsets BEFORE any filtering)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+    if ascii_only or not _needs_unicode_ws_split(arr):
+        # fast path (typical webtext): no code point on which Python-\s
+        # and ASCII splitting disagree -> the 5x-cheaper ASCII kernel is
+        # exact (the RE2 class split measured ~0.26s vs ~0.05s per 7.8k
+        # docs; this one buffer scan costs ~2% of that)
+        toks = pc.ascii_split_whitespace(arr)
+    else:
+        toks = pc.split_pattern_regex(arr, _WS_CLASS_RE2)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    offs0 = np.concatenate(([0], np.cumsum(lens, dtype=np.int64)))
+    return pc.list_flatten(toks), offs0
+
+
+def _norm_dict_pa(d, count_only: bool = False):
+    """Normalize a batch's DISTINCT raw tokens (its Arrow dictionary):
+    edge trim, NFC (non-ASCII minority only), selective case folding.
+    Returns (norm: pa.StringArray, keep: np.bool_[K]) — keep marks
+    entries whose trimmed form is non-empty. count_only skips NFC and
+    folding (they never change which entries survive the trim).
+
+    The point of operating on the dictionary instead of the flat token
+    stream (guide §4.2): webtext is Zipf-distributed, so a batch's ~10^4
+    distinct raw tokens stand in for ~10^7 occurrences — the trim/NFC/
+    regex/fold kernels run at 1/1000th of the stream cost and the result
+    is attached back through the codes."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    trimmed = pc.utf8_trim(d, _EDGE_PUNCT)
+    keep = pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
+    if count_only:
+        return trimmed, keep
+    # NFC: ASCII entries are already normal; route only the non-ASCII
+    # minority through Python's normalizer (pyarrow's utf8_normalize does
+    # not COMPOSE — verified on 16.1 — so it cannot implement NFC here)
+    is_ascii = pc.string_is_ascii(trimmed)
+    if pc.min(is_ascii).as_py() is False:
+        namask = pc.invert(is_ascii)
+        na = trimmed.filter(namask)
+        na_norm = pa.array(
+            [unicodedata.normalize("NFC", s) for s in na.to_pylist()],
+            type=pa.string(),
+        )
+        norm = pc.replace_with_mask(trimmed, namask, na_norm)
+    else:
+        norm = trimmed
+    fold = pc.match_substring_regex(norm, _CASE_RE2)
+    return pc.if_else(fold, pc.ascii_lower(norm), norm), keep
+
+
+def _tokenize_codes_pa(arr, mode: str = "chem"):
+    """Dictionary-encoded batch tokenizer: returns (codes: np.int64,
+    vocab: pa.StringArray, offsets: np.ndarray[int64]) where row i's
+    normalized tokens are vocab.take(codes[offsets[i]:offsets[i+1]]) —
+    the same token stream _tokenize_flat_pa yields, without ever
+    materializing the per-occurrence strings. Raw tokens that normalize
+    to the same term share one vocab id (vocab entries are distinct,
+    first-occurrence ordered)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if mode == "simple":
+        flat, offs0 = _split_ws_pa(arr, ascii_only=True)
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        d = enc.dictionary
+        keep_d = pc.not_equal(d, "").to_numpy(zero_copy_only=False)
+        norm_d = d
+    elif mode in ("chem", "chem+greek"):
+        flat, offs0 = _split_ws_pa(arr)
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        norm_d, keep_d = _norm_dict_pa(enc.dictionary)
+    else:
+        raise ValueError(f"unknown tokenize mode {mode!r}")
+    if len(codes):
+        keep_np = keep_d[codes]
+        ck = np.concatenate(([0], np.cumsum(keep_np, dtype=np.int64)))
+        offs = ck[offs0]
+        codes = codes[keep_np]
+    else:
+        offs = np.zeros(len(offs0), dtype=np.int64)
+    # unify dictionary entries that normalized to the same term ("The,"
+    # and "the" -> one vocab id); kept-entry first-occurrence order
+    norm_list = norm_d.to_pylist()
+    remap = np.zeros(len(norm_list), dtype=np.int64)
+    vocab_idx: dict = {}
+    vocab: list = []
+    for j, term in enumerate(norm_list):
+        if not keep_d[j]:
+            continue
+        vid = vocab_idx.get(term)
+        if vid is None:
+            vid = len(vocab)
+            vocab_idx[term] = vid
+            vocab.append(term)
+        remap[j] = vid
+    codes = remap[codes] if len(codes) else codes
+    vocab_pa = pa.array(vocab, type=pa.string())
+    if mode != "chem+greek":
+        return codes, vocab_pa, offs
+    # greek variants: additional canonical forms appended after the doc's
+    # surface tokens, in source-token order (greek_variants semantics)
+    gmask = pc.match_substring_regex(vocab_pa, _GREEK_CLASS_RE2)
+    g_d = gmask.to_numpy(zero_copy_only=False) if len(vocab) else \
+        np.zeros(0, dtype=bool)
+    if not g_d.any():
+        return codes, vocab_pa, offs
+    var_of = np.full(len(vocab), -1, dtype=np.int64)
+    for j in np.flatnonzero(g_d):
+        v = "".join(GREEK_MAP.get(c, c) for c in vocab[j])
+        vid = vocab_idx.get(v)
+        if vid is None:
+            vid = len(vocab)
+            vocab_idx[v] = vid
+            vocab.append(v)
+        var_of[j] = vid
+    g_np = g_d[codes]
+    gidx = np.flatnonzero(g_np)
+    n_rows = len(offs) - 1
+    base_doc = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(offs))
+    var_doc = base_doc[gidx]
+    all_doc = np.concatenate([base_doc, var_doc])
+    all_grp = np.concatenate([np.zeros(len(base_doc), dtype=np.int8),
+                              np.ones(len(var_doc), dtype=np.int8)])
+    all_src = np.concatenate([np.arange(len(base_doc), dtype=np.int64),
+                              gidx])
+    order = np.lexsort((all_src, all_grp, all_doc))
+    all_codes = np.concatenate([codes, var_of[codes[gidx]]])[order]
+    counts = np.bincount(all_doc, minlength=n_rows).astype(np.int64)
+    offs2 = np.concatenate(([0], np.cumsum(counts)))
+    return all_codes, pa.array(vocab, type=pa.string()), offs2
 
 
 def _tokenize_flat_pa(arr, mode: str = "chem", count_only: bool = False):
@@ -142,50 +292,40 @@ def _tokenize_flat_pa(arr, mode: str = "chem", count_only: bool = False):
 
     count_only=True skips NFC + case folding (they never change the
     token COUNT; greek-variant counting still runs for chem+greek) —
-    the doc_stats doclen pass needs only offsets."""
+    the doc_stats doclen pass needs only offsets.
+
+    The chem paths normalize per DISTINCT raw token (dictionary-encode
+    first — see _norm_dict_pa) and materialize the flat stream with one
+    dictionary take; 'simple' needs no normalization and skips the
+    encode entirely."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    if arr.null_count:
-        arr = pc.fill_null(arr, "")
     if mode == "simple":
-        # ASCII whitespace == Java \s == _JAVA_WS_RE; empties filtered below
-        toks = pc.ascii_split_whitespace(arr)
-    elif not _needs_unicode_ws_split(arr):
-        # fast path (typical webtext): no code point on which Python-\s
-        # and ASCII splitting disagree -> the 5x-cheaper ASCII kernel is
-        # exact (the RE2 class split measured ~0.26s vs ~0.05s per 7.8k
-        # docs; this one buffer scan costs ~2% of that)
-        toks = pc.ascii_split_whitespace(arr)
-    else:
-        toks = pc.split_pattern_regex(arr, _WS_CLASS_RE2)
-    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-    offs0 = np.concatenate(([0], np.cumsum(lens, dtype=np.int64)))
-    flat = pc.list_flatten(toks)
-    if mode == "simple":
+        flat, offs0 = _split_ws_pa(arr, ascii_only=True)
         keep = pc.not_equal(flat, "")
-        trimmed = flat
-    else:
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        ck = np.concatenate(([0], np.cumsum(keep_np, dtype=np.int64)))
+        return flat.filter(keep), ck[offs0]
+    if mode not in ("chem", "chem+greek"):
+        raise ValueError(f"unknown tokenize mode {mode!r}")
+    if count_only:
+        # NFC and case folding never change the token count, so the
+        # stream path stops at trim; no dictionary pass needed. The
+        # returned FLAT array is the trimmed un-normalized tokens —
+        # only the offsets are contractual (see docstring).
+        flat, offs0 = _split_ws_pa(arr)
         trimmed = pc.utf8_trim(flat, _EDGE_PUNCT)
         keep = pc.not_equal(trimmed, "")
-    keep_np = keep.to_numpy(zero_copy_only=False)
-    ck = np.concatenate(([0], np.cumsum(keep_np, dtype=np.int64)))
-    offs = ck[offs0]
-    kept = trimmed.filter(keep)
-    if mode == "simple":
-        return kept, offs
-    if count_only:
-        # NFC and case folding never change the token count; greek
-        # detection is NFC-invariant for the mapped (composition-free)
-        # letters. With count_only the returned FLAT array is the
-        # trimmed un-normalized tokens — only the offsets are contractual.
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        ck = np.concatenate(([0], np.cumsum(keep_np, dtype=np.int64)))
+        offs = ck[offs0]
+        kept = trimmed.filter(keep)
         if mode == "chem":
             return kept, offs
-        if mode != "chem+greek":
-            raise ValueError(f"unknown tokenize mode {mode!r}")
+        # greek-variant counting: NFC-invariant for the mapped
+        # (composition-free) letters, so the un-normalized stream suffices
         gmask = pc.match_substring_regex(kept, _GREEK_CLASS_RE2)
         g_np = gmask.to_numpy(zero_copy_only=False)
         if not g_np.any():
@@ -196,55 +336,8 @@ def _tokenize_flat_pa(arr, mode: str = "chem", count_only: bool = False):
         extra = np.bincount(base_doc[g_np], minlength=n_rows)
         counts = np.diff(offs) + extra
         return kept, np.concatenate(([0], np.cumsum(counts)))
-    # NFC: ASCII tokens are already normal; route only the non-ASCII
-    # minority through Python's normalizer (pyarrow's utf8_normalize does
-    # not COMPOSE — verified on 16.1 — so it cannot implement NFC here)
-    is_ascii = pc.string_is_ascii(kept)
-    if pc.min(is_ascii).as_py() is False:
-        namask = pc.invert(is_ascii)
-        na = kept.filter(namask)
-        na_norm = pa.array(
-            [unicodedata.normalize("NFC", s) for s in na.to_pylist()],
-            type=pa.string(),
-        )
-        norm = pc.replace_with_mask(kept, namask, na_norm)
-    else:
-        norm = kept
-    fold = pc.match_substring_regex(norm, _CASE_RE2)
-    out = pc.if_else(fold, pc.ascii_lower(norm), norm)
-    if mode == "chem":
-        return out, offs
-    if mode != "chem+greek":
-        raise ValueError(f"unknown tokenize mode {mode!r}")
-    # greek variants: additional canonical forms appended after the doc's
-    # surface tokens, in source-token order (greek_variants semantics)
-    gmask = pc.match_substring_regex(out, _GREEK_CLASS_RE2)
-    g_np = gmask.to_numpy(zero_copy_only=False)
-    if not g_np.any():
-        return out, offs
-    gidx = np.flatnonzero(g_np)
-    variants = [
-        "".join(GREEK_MAP.get(c, c) for c in t)
-        for t in out.take(pa.array(gidx)).to_pylist()
-    ]
-    n_rows = len(offs) - 1
-    base_doc = np.repeat(np.arange(n_rows, dtype=np.int64),
-                         np.diff(offs))
-    var_doc = base_doc[gidx]
-    all_doc = np.concatenate([base_doc, var_doc])
-    all_grp = np.concatenate([np.zeros(len(base_doc), dtype=np.int8),
-                              np.ones(len(var_doc), dtype=np.int8)])
-    all_src = np.concatenate([np.arange(len(base_doc), dtype=np.int64),
-                              gidx])
-    order = np.lexsort((all_src, all_grp, all_doc))
-    combined = pa.concat_arrays(
-        [out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out,
-         pa.array(variants, type=pa.string())]
-    )
-    out2 = combined.take(pa.array(order))
-    counts = np.bincount(all_doc, minlength=n_rows).astype(np.int64)
-    offs2 = np.concatenate(([0], np.cumsum(counts)))
-    return out2, offs2
+    codes, vocab, offs = _tokenize_codes_pa(arr, mode)
+    return vocab.take(pa.array(codes)), offs
 
 
 def tokenize_arrow(arr, mode: str = "chem"):

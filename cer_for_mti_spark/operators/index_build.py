@@ -84,7 +84,7 @@ def build_doc_terms_with_dl(docs: DataFrame, text_col: str = "text",
     of the exploded relation) from the postings build: at 10^12 docs
     that join would reshuffle the entire token relation a second time."""
     toks = analyze.tokenize(docs.select("doc_id", text_col), text_col, mode)
-    return (
+    out = (
         toks.select(
             "doc_id",
             F.size("tokens").cast("long").alias("doclen"),
@@ -96,6 +96,10 @@ def build_doc_terms_with_dl(docs: DataFrame, text_col: str = "text",
             F.first("doclen").alias("doclen"),
         )
     )
+    # provenance marker: lets build_postings fuse the whole build back
+    # into the single-pass SPIMI plan (result-identical; see build_postings)
+    out._cer_fuse_src = (docs, text_col, mode)
+    return out
 
 
 _COUNTS_SCHEMA = T.StructType(
@@ -136,25 +140,36 @@ def _batch_doc_term_counts(texts, mode: str):
     (Counter key order — byte-compatible with the scalar path)."""
     import pyarrow as pa
 
-    from cer_for_mti_spark.functions.analyze import _tokenize_flat_pa
+    from cer_for_mti_spark.functions.analyze import _tokenize_codes_pa
 
     if isinstance(texts, (pa.Array, pa.ChunkedArray)):
         arr = texts
     else:
         arr = pa.Array.from_pandas(texts, type=pa.string())
-    flat, offs = _tokenize_flat_pa(arr, mode)
+    # codes come straight from the tokenizer's dictionary pass — the
+    # per-occurrence normalized strings are never materialized (the old
+    # path built the flat token array only to dictionary_encode it again)
+    codes, vocab_pa, offs = _tokenize_codes_pa(arr, mode)
     n_rows = len(offs) - 1
     doclens = np.diff(offs)
     if offs[-1] == 0:
         z = np.array([], dtype=np.int64)
         return z, z, [], z, doclens
-    enc = flat.dictionary_encode()
-    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    vocab = enc.dictionary.to_pylist()
+    vocab = vocab_pa.to_pylist()
     n_dict = len(vocab)
     doc_idx = np.repeat(np.arange(n_rows, dtype=np.int64), doclens)
     key = doc_idx * n_dict + codes
-    uk, first_idx, tf = np.unique(key, return_index=True, return_counts=True)
+    # group by key via a STABLE argsort (radix for ints — equal to
+    # np.unique's sort on the nearly-doc-sorted keys here, ~2.3x cheaper
+    # when the key order is adversarial). Stability makes the first
+    # element of each sorted group the key's first occurrence, which
+    # np.unique's return_index also guarantees — same outputs.
+    idx = np.argsort(key, kind="stable")
+    sk = key[idx]
+    starts = np.concatenate(([0], np.flatnonzero(sk[1:] != sk[:-1]) + 1))
+    uk = sk[starts]
+    tf = np.diff(np.concatenate((starts, [len(sk)])))
+    first_idx = idx[starts]
     order = np.argsort(first_idx, kind="stable")  # doc-major, 1st-occurrence
     uk, tf = uk[order], tf[order]
     return uk // n_dict, uk % n_dict, vocab, tf.astype(np.int64), doclens
@@ -199,7 +214,7 @@ def build_doc_terms_narrow(docs: DataFrame, text_col: str = "text",
     postings build's salted term merge becomes the build's ONLY full
     shuffle. Tests assert both paths produce identical relations."""
     counted = docs.select("doc_id", _make_term_counts_udf(mode)(text_col).alias("c"))
-    return counted.select(
+    out = counted.select(
         "doc_id",
         F.aggregate("c.tfs", F.lit(0).cast("long"), lambda a, x: a + x)
         .alias("doclen"),
@@ -207,6 +222,8 @@ def build_doc_terms_narrow(docs: DataFrame, text_col: str = "text",
                                F.col("c.tfs").alias("tf"))).alias("e"),
     ).select("doc_id", F.col("e.term").alias("term"),
              F.col("e.tf").alias("tf"), "doclen")
+    out._cer_fuse_src = (docs, text_col, mode)  # see build_postings fusion
+    return out
 
 
 def build_doc_stats(doc_terms_or_docs: DataFrame, text_col: str = "text",
@@ -324,14 +341,23 @@ def _varint_encode_segmented(values: np.ndarray) -> tuple[bytes, np.ndarray]:
             break
         nbytes += m.astype(np.int64)
     maxb = int(nbytes.max())
-    chunks = ((v[:, None] >> _SHIFTS[:maxb]) & np.uint64(0x7F)).astype(np.uint8)
-    cols = np.arange(maxb)
-    chunks[cols < (nbytes - 1)[:, None]] |= 0x80
-    buf = chunks.tobytes() if maxb == 1 else chunks[cols < nbytes[:, None]].tobytes()
     offs = np.empty(len(v) + 1, dtype=np.int64)
     offs[0] = 0
     np.cumsum(nbytes, out=offs[1:])
-    return buf, offs
+    if maxb == 1:
+        return v.astype(np.uint8).tobytes(), offs
+    # scatter each value's j-th byte straight into the output buffer —
+    # avoids materializing the n x maxb chunk matrix and its ragged
+    # boolean selection (~1.4x cheaper on mixed-width streams)
+    out = np.empty(offs[-1], dtype=np.uint8)
+    pos = offs[:-1]
+    for j in range(maxb):
+        sel = nbytes > j
+        vv = v[sel] if j else v
+        byte = ((vv >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        byte |= ((nbytes[sel] - 1 > j).astype(np.uint8) << 7)
+        out[pos[sel] + j] = byte
+    return out.tobytes(), offs
 
 
 def _encode_runs_flush_raw(d: np.ndarray, t: np.ndarray,
@@ -592,14 +618,23 @@ def build_posting_runs(doc_terms: DataFrame, doc_stats: DataFrame,
         "block_last array<long>, block_max array<double>, max_impact double"
     )
 
-    def encode_part(batches):
-        # The exchange + collect_list stay in the JVM (arrays cross the
-        # Python boundary COLUMNAR — a ListArray is flat values + offsets,
-        # so a group's posting never becomes per-row Python objects); the
-        # JVM array_sort of 12.5M structs and the per-group encode UDF are
-        # replaced by one numpy lexsort over the flat values and the
-        # vectorized flush encoder.
+    def encode_stream(batches):
+        # Streaming group encode over the SORTED (term, bucket, doc_id)
+        # stream: group boundaries are adjacent-key changes; a group that
+        # spans Arrow batches is carried until its key changes (memory
+        # bounded by one group, i.e. the salt's ~4M-posting cap — the
+        # same bound the old collect_list cells had, without ever
+        # materializing a multi-MB array cell in the JVM heap; those
+        # cells were the humongous-allocation GC hazard BENCH.md r05
+        # documents). Arrays cross the boundary as flat columns.
         import pyarrow as pa
+        import pyarrow.compute as pc
+
+        carry = None  # (term, bucket, [d...], [t...], [dl...]) pending
+
+        def encode_slice(terms, bkt, d, t, dl, starts):
+            raw = _encode_runs_flush_raw(d, t, dl, starts, avgdl)
+            return _runs_record_batch(terms, raw, bucket=bkt)
 
         for rb in batches:
             if not rb.num_rows:
@@ -607,44 +642,91 @@ def build_posting_runs(doc_terms: DataFrame, doc_stats: DataFrame,
             terms = rb.column(0)
             bkt = rb.column(1).to_numpy(zero_copy_only=False).astype(
                 np.int64)
-            ids_l = rb.column(2)
-            tfs_l = rb.column(3)
-            dls_l = rb.column(4)
-            offs = ids_l.offsets.to_numpy(zero_copy_only=False).astype(
+            d = rb.column(2).to_numpy(zero_copy_only=False).astype(
                 np.int64)
-            starts = offs - offs[0]
-            d = ids_l.flatten().to_numpy(zero_copy_only=False).astype(
+            t = rb.column(3).to_numpy(zero_copy_only=False).astype(
                 np.int64)
-            t = tfs_l.flatten().to_numpy(zero_copy_only=False).astype(
+            dl = rb.column(4).to_numpy(zero_copy_only=False).astype(
                 np.int64)
-            dl = dls_l.flatten().to_numpy(zero_copy_only=False).astype(
-                np.int64)
-            lens = np.diff(starts)
-            row_of = np.repeat(np.arange(rb.num_rows, dtype=np.int64),
-                               lens)
-            order = np.lexsort((d, row_of))
-            raw = _encode_runs_flush_raw(d[order], t[order], dl[order],
-                                         starts, avgdl)
-            yield _runs_record_batch(terms, raw, bucket=bkt)
+            n = rb.num_rows
+            if n > 1:
+                tchg = pc.not_equal(
+                    terms.slice(1), terms.slice(0, n - 1)
+                ).to_numpy(zero_copy_only=False)
+                chg = tchg | (bkt[1:] != bkt[:-1])
+                bounds = np.flatnonzero(chg) + 1
+            else:
+                bounds = np.zeros(0, dtype=np.int64)
+            first_key = (terms[0].as_py(), int(bkt[0]))
+            if carry is not None and carry[0] != first_key:
+                cd, ct, cdl = (np.concatenate(x) for x in
+                               (carry[1], carry[2], carry[3]))
+                yield encode_slice(
+                    pa.array([carry[0][0]], type=pa.string()),
+                    np.array([carry[0][1]], dtype=np.int64),
+                    cd, ct, cdl, np.array([0, len(cd)], dtype=np.int64))
+                carry = None
+            last_start = int(bounds[-1]) if len(bounds) else 0
+            last_key = (terms[n - 1].as_py(), int(bkt[n - 1]))
+            if len(bounds):
+                # complete groups: [0..last_start) (plus any carry prefix)
+                starts = np.concatenate(([0], bounds[:-1], [last_start])) \
+                    if len(bounds) > 1 else np.array([0, last_start],
+                                                     dtype=np.int64)
+                gterms = terms.take(pa.array(starts[:-1]))
+                gbkt = bkt[starts[:-1]]
+                hd, ht, hdl = d[:last_start], t[:last_start], \
+                    dl[:last_start]
+                if carry is not None:
+                    cd = np.concatenate(carry[1] + [hd])
+                    ct = np.concatenate(carry[2] + [ht])
+                    cdl = np.concatenate(carry[3] + [hdl])
+                    pad = len(cd) - len(hd)
+                    starts = np.concatenate(([0], starts[1:] + pad))
+                    hd, ht, hdl = cd, ct, cdl
+                    carry = None
+                yield encode_slice(gterms, gbkt, hd, ht, hdl, starts)
+            if carry is None:
+                carry = (last_key, [d[last_start:]], [t[last_start:]],
+                         [dl[last_start:]])
+            else:
+                carry[1].append(d[last_start:])
+                carry[2].append(t[last_start:])
+                carry[3].append(dl[last_start:])
+        if carry is not None:
+            cd, ct, cdl = (np.concatenate(x) for x in
+                           (carry[1], carry[2], carry[3]))
+            yield encode_slice(
+                pa.array([carry[0][0]], type=pa.string()),
+                np.array([carry[0][1]], dtype=np.int64),
+                cd, ct, cdl, np.array([0, len(cd)], dtype=np.int64))
 
-    grouped = (
-        salted.groupBy("term", "bucket")
-        .agg(F.collect_list(F.struct("doc_id", "tf", "doclen"))
-             .alias("plist"))
-        .select(
-            "term", "bucket",
-            F.col("plist.doc_id").alias("ids"),
-            F.col("plist.tf").alias("tfs"),
-            F.col("plist.doclen").alias("dls"),
-        )
+    stream = (
+        salted.select("term", "bucket", "doc_id", "tf", "doclen")
+        .repartition("term", "bucket")
+        .sortWithinPartitions("term", "bucket", "doc_id")
     )
-    return grouped.mapInArrow(encode_part, run_schema)
+    return stream.mapInArrow(encode_stream, run_schema)
 
 
 def build_postings(doc_terms: DataFrame, doc_stats: DataFrame, avgdl: float,
-                   salt: int | None = None, n_docs: int | None = None) -> DataFrame:
+                   salt: int | None = None, n_docs: int | None = None,
+                   fuse: bool = True) -> DataFrame:
     """True SPIMI: salted sorted-run construction (build_posting_runs) ->
     COMPRESSED-run merge.
+
+    PLAN FUSION (guide §2.4 — remove shuffles outright): when doc_terms
+    is the DIRECT result of build_doc_terms_with_dl / build_doc_terms_
+    narrow (provenance marker `_cer_fuse_src`), the doc_terms relation is
+    an intermediate nothing else consumes — so the whole build collapses
+    into the single-pass SPIMI plan over the source text: tokenize ->
+    count -> encode in ONE Python pass per input split, with the only
+    shuffle moving compressed run bytes. Catalyst cannot see through the
+    Python boundary to do this fusion itself. Result-identical to the
+    unfused pipeline (byte-equality asserted in tests/test_index_bm25.py
+    ::test_build_postings_fusion_parity); pass fuse=False (as build_index
+    does for its explicit plan= argument) to keep the declarative
+    two-exchange pipeline.
 
     Phase 2 merges each term's <=S runs by BYTE CONCATENATION with a
     one-varint boundary patch (merge_encoded_runs) — the merge exchange
@@ -656,6 +738,11 @@ def build_postings(doc_terms: DataFrame, doc_stats: DataFrame, avgdl: float,
 
     Python is crossed twice per posting (encode run, merge runs), both
     Arrow-batched, both numpy/bytes-level."""
+    src = getattr(doc_terms, "_cer_fuse_src", None) if fuse else None
+    if src is not None:
+        src_docs, text_col, mode = src
+        return build_postings_spimi(src_docs, avgdl, mode=mode,
+                                    text_col=text_col)
     runs = build_posting_runs(doc_terms, doc_stats, avgdl, salt=salt,
                               n_docs=n_docs)
     merged = runs.groupBy("term").agg(
@@ -2274,5 +2361,8 @@ def build_index(docs: DataFrame, mode: str = "simple",
         doc_terms = build_doc_terms_narrow(docs, mode=mode)
     else:
         doc_terms = build_doc_terms_with_dl(docs, mode=mode).persist()
-    postings = build_postings(doc_terms, doc_stats, avgdl, salt=salt, n_docs=n)
+    # fuse=False: plan= explicitly selects the execution strategy here
+    # (the parity tests depend on the three plans being genuinely distinct)
+    postings = build_postings(doc_terms, doc_stats, avgdl, salt=salt,
+                              n_docs=n, fuse=False)
     return postings, doc_stats, n, avgdl

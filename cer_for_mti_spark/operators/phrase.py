@@ -75,7 +75,7 @@ def _make_positional_partition(mode: str, text_col: str,
     def part(batches):
         import pyarrow as pa
 
-        from cer_for_mti_spark.functions.analyze import _tokenize_flat_pa
+        from cer_for_mti_spark.functions.analyze import _tokenize_codes_pa
 
         vocab: dict = {}
         gid_terms: list = []
@@ -112,29 +112,59 @@ def _make_positional_partition(mode: str, text_col: str,
                 bounds = np.flatnonzero(rowstart) + 1
                 starts = np.concatenate(([0], bounds, [len(g)]))
                 ds_idx = np.flatnonzero(docstart)
-                for s, e in zip(starts[:-1], starts[1:]):
-                    lo = np.searchsorted(ds_idx, s)
-                    hi = np.searchsorted(ds_idx, e)
-                    docs_at = ds_idx[lo:hi]
-                    ids = d[docs_at]
-                    tfs = np.diff(np.concatenate((docs_at, [e])))
-                    out["term"].append(gid_terms[g[s]])
-                    if width is not None:
-                        out["bucket"].append(int(d[s] // width))
-                    out["first_id"].append(int(ids[0]))
-                    out["last_id"].append(int(ids[-1]))
-                    out["df"].append(len(ids))
-                    out["doc_ids"].append(delta_encode(ids))
-                    out["tfs"].append(varint_encode(tfs.astype(np.uint64)))
-                    out["positions"].append(
-                        varint_encode(gaps[s:e].astype(np.uint64)))
+                # vectorized run encode (byte-identical to the old
+                # per-run delta_encode/varint_encode loop): every run
+                # start is a doc start (a term/bucket change implies a
+                # (term,doc) change), so doc-level streams segment by
+                # searchsorted and one whole-flush varint pass per
+                # stream replaces ~5 kernel launches per run
+                from cer_for_mti_spark.operators.index_build import (
+                    _varint_encode_segmented,
+                )
+
+                run_doc_lo = np.searchsorted(ds_idx, starts[:-1])
+                run_doc_hi = np.searchsorted(ds_idx, starts[1:])
+                ids_flat = d[ds_idx]
+                first_mask = np.zeros(len(ds_idx), dtype=bool)
+                first_mask[run_doc_lo] = True
+                prev = np.empty_like(ids_flat)
+                if len(ids_flat):
+                    prev[0] = 0
+                    prev[1:] = ids_flat[:-1]
+                gaps_doc = np.where(first_mask, ids_flat, ids_flat - prev)
+                tf_flat = np.diff(np.append(ds_idx, len(g)))
+                id_buf, id_offs = _varint_encode_segmented(
+                    gaps_doc.astype(np.uint64))
+                tf_buf, tf_offs = _varint_encode_segmented(
+                    tf_flat.astype(np.uint64))
+                pos_buf, pos_offs = _varint_encode_segmented(
+                    gaps.astype(np.uint64))
+                gterms = np.asarray(gid_terms, dtype=object)[g[starts[:-1]]]
+                out["term"] = list(gterms)
+                if width is not None:
+                    out["bucket"] = (d[starts[:-1]] // width).tolist()
+                out["first_id"] = ids_flat[run_doc_lo].tolist()
+                out["last_id"] = ids_flat[run_doc_hi - 1].tolist()
+                out["df"] = (run_doc_hi - run_doc_lo).tolist()
+                out["doc_ids"] = [
+                    id_buf[id_offs[lo]:id_offs[hi]]
+                    for lo, hi in zip(run_doc_lo, run_doc_hi)
+                ]
+                out["tfs"] = [
+                    tf_buf[tf_offs[lo]:tf_offs[hi]]
+                    for lo, hi in zip(run_doc_lo, run_doc_hi)
+                ]
+                out["positions"] = [
+                    pos_buf[pos_offs[s]:pos_offs[e]]
+                    for s, e in zip(starts[:-1], starts[1:])
+                ]
             parts, n_acc = [], 0
             return _object_df(out)
 
         for pdf in batches:
             doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
             arr = pa.Array.from_pandas(pdf[text_col], type=pa.string())
-            flat, offs = _tokenize_flat_pa(arr, tok_mode)
+            codes, vocab_pa, offs = _tokenize_codes_pa(arr, tok_mode)
             total = int(offs[-1])
             if not total:
                 continue
@@ -143,10 +173,7 @@ def _make_positional_partition(mode: str, text_col: str,
             doc_idx = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
             pos = np.arange(total, dtype=np.int64) - np.repeat(
                 offs[:-1], counts)
-            enc = flat.dictionary_encode()
-            codes = enc.indices.to_numpy(zero_copy_only=False).astype(
-                np.int64)
-            bdict = enc.dictionary.to_pylist()
+            bdict = vocab_pa.to_pylist()
             gmap = np.empty(len(bdict), dtype=np.int64)
             for j, term in enumerate(bdict):
                 gid = vocab.get(term)

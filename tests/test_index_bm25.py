@@ -1256,3 +1256,41 @@ def test_duplicate_query_batch_dedup_identity(spark, webtext, index_300):
     ):
         assert hits_by_text(fn(pdup), pdup) == hits_by_text(fn(puniq),
                                                             puniq)
+
+
+def test_build_postings_fusion_parity(spark, webtext):
+    """build_postings on a provenance-marked doc_terms relation fuses to
+    the single-pass SPIMI plan; its postings must be BYTE-identical to
+    the unfused declarative pipeline, for both doc_terms flavors."""
+    ds = ib.build_doc_stats(webtext, mode="chem")
+    n, avgdl = ib.corpus_stats(ds)
+
+    def _bytes(p):
+        # block_last/block_max are RUN-local (valid upper bounds under any
+        # run partitioning — see POSTING_SCHEMA docs), so the fused plan's
+        # block structure legitimately differs; everything else must be
+        # byte-identical
+        return {
+            r["term"]: (r["df"], bytes(r["doc_ids"]), bytes(r["tfs"]),
+                        bytes(r["doclens"]), r["max_impact"])
+            for r in p.collect()
+        }
+
+    qs = spark.createDataFrame(
+        [(0, "insulin the"), (1, "dopamine serotonin")],
+        "query_id int, query string")
+    for maker in (ib.build_doc_terms_with_dl, ib.build_doc_terms_narrow):
+        dt = maker(webtext, mode="chem")
+        assert getattr(dt, "_cer_fuse_src", None) is not None
+        fused = ib.build_postings(dt, ds, avgdl, n_docs=n)
+        unfused = ib.build_postings(dt, ds, avgdl, n_docs=n, fuse=False)
+        a, b = _bytes(fused), _bytes(unfused)
+        assert a == b and len(a) > 0, maker.__name__
+        x = _key(bm25.bm25_wand(qs, fused, n, avgdl, k=10,
+                                mode="chem").collect())
+        y = _key(bm25.bm25_wand(qs, unfused, n, avgdl, k=10,
+                                mode="chem").collect())
+        assert x == y and len(x) > 0, maker.__name__
+    # derived frames drop the marker: no accidental fusion downstream
+    dt2 = ib.build_doc_terms_with_dl(webtext, mode="chem").drop("doclen")
+    assert getattr(dt2, "_cer_fuse_src", None) is None
